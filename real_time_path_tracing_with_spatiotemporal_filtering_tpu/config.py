@@ -1,0 +1,93 @@
+"""Render configuration.
+
+The reference has no runtime config system: every tunable is a compile-time
+constant scattered across common.h, main.cpp and the GLSL shaders (see
+reference common.h:14-24, main.cpp:52-72, raytrace.comp.glsl:204,280-282,306,
+temporalFiltering.comp.glsl:203-205,243). ``RenderConfig`` captures that exact
+list as one frozen (hashable) dataclass so it can be a static jit argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All compile-time constants of the reference, as one static config.
+
+    Defaults reproduce the reference exactly. The config is hashable and is
+    passed as a static argument to the jitted frame function, so two configs
+    compile two programs (the TPU analogue of the reference's #define's).
+    """
+
+    # --- image (reference main.cpp:52-53) ---
+    width: int = 1000
+    height: int = 800
+
+    # --- camera (reference common.h:14, raytrace.comp.glsl:300) ---
+    fov: float = 0.20          # radians; ray slope = tan(fov)
+    near: float = 0.1          # raster proj near (main.cpp:483)
+    far: float = 10.0          # raster proj far (main.cpp:483)
+
+    # --- path tracing (raytrace.comp.glsl) ---
+    spp: int = 1                     # NUM_SAMPLES (raytrace.comp.glsl:306)
+    sample_batches: int = 1          # NUM_SAMPLE_BATCHES (main.cpp:1223)
+    max_bounces: int = 32            # loop bound (raytrace.comp.glsl:204)
+    aa_sigma: float = 0.375          # Gaussian AA jitter (raytrace:314)
+    ray_offset_eps: float = 1e-4     # bounce origin offset (raytrace:250)
+    t_max: float = 10000.0           # ray query max t (raytrace:216)
+
+    # --- light (main.cpp:70-72, raytrace.comp.glsl:279-282) ---
+    light_radius: float = 0.20
+    light_intensity: float = 30.0        # "to hdr" scale (raytrace:281)
+    first_hit_light_dim: float = 5.0     # first-segment dimming (raytrace:229)
+    # Reference quirk: the sphere-light test ignores occluders entirely
+    # (raytrace.comp.glsl:226-235 checks the light before the committed
+    # triangle hit). True reproduces the reference; False makes the light
+    # respect the nearest surface hit.
+    light_through_walls: bool = True
+
+    # --- a-trous filter (temporalFiltering.comp.glsl:203-205; main.cpp:55) ---
+    wavelet_iterations: int = 9      # "must be an odd number" (main.cpp:55)
+    sigma_n: float = 128.0
+    sigma_z: float = 1.0
+    sigma_l: float = 4.0
+
+    # --- temporal accumulation (temporalFiltering.comp.glsl:243-248) ---
+    ema_alpha: float = 0.3           # weight of the CURRENT frame
+    # The reference wrote gradient-driven adaptive alpha but left it
+    # commented out (temporalFiltering.comp.glsl:246-248). Off by default
+    # for reference parity; on = alpha' = (1 - lambda)*alpha + lambda.
+    adaptive_alpha: bool = False
+
+    # --- interaction (main.cpp:68, 1119-1168) ---
+    move_speed: float = 0.1
+    light_x_wrap_lo: float = -20.0
+    light_x_wrap_hi: float = 2.0
+
+    # --- numerics ---
+    dtype: str = "float32"  # compute dtype for the radiance path
+    # Epsilon guarding degenerate ray/plane parallelism in the intersector
+    # (the HW ray query handles this in silicon; we must pick a cutoff).
+    intersect_eps: float = 1e-9
+
+    def __post_init__(self) -> None:
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("image dimensions must be positive")
+        if self.wavelet_iterations % 2 != 1:
+            # main.cpp:55 "must be an odd number" (so the ping-pong ends in
+            # the displayable buffer); functionally we only need >= 1 but we
+            # keep the reference's contract.
+            raise ValueError("wavelet_iterations must be odd (main.cpp:55)")
+        if self.spp < 1 or self.max_bounces < 1:
+            raise ValueError("spp and max_bounces must be >= 1")
+
+    @property
+    def resolution(self) -> tuple[int, int]:
+        """(width, height), matching the reference's pixel convention."""
+        return (self.width, self.height)
+
+
+# Reference-default config, shared by tests/benchmarks.
+REFERENCE_CONFIG = RenderConfig()

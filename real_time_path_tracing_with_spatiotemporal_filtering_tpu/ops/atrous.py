@@ -1,0 +1,140 @@
+"""A-trous wavelet filter with edge-stopping weights + temporal EMA.
+
+Behavioral port of temporalFiltering.comp.glsl re-architected for XLA: the
+reference runs 9 separate dispatches ping-ponging two images with per-
+iteration descriptor rewrites (main.cpp:1255-1306); here the 9 iterations are
+a single unrolled loop inside the frame jit -- pure dataflow, no buffers.
+
+Per iteration k (1..9 -- note the reference uses LINEAR stride k, not the
+classic 2^k, temporalFiltering.comp.glsl:135):
+    3x3 taps at stride k, edge-clamped (temporalFiltering.comp.glsl:132-136)
+    weight = dot(np, nq)^sigma_n            (normals, :61-63)
+           * exp(-|dp - dq| / sigma_z)      (depth, :66-69)
+           * exp(-||cp - cq|| / sigma_l)    (color, :72-74)
+    out = sum(h w cq) / sum(h w), h = 1/9 box
+
+After the last iteration the result is EMA-blended (alpha = 0.3 current)
+against the previous frame's output, gathered at the backprojected pixel
+(temporalFiltering.comp.glsl:213-263). Reference quirk kept: backprojection
+barycentrics are computed against the PREVIOUS LUT vertices (:221-229),
+unlike the gradient pass which uses current ones.
+
+Each 3x3 tap is a whole-image shifted add: 9 vectorized passes over (H, W)
+arrays that XLA fuses into one elementwise loop per iteration. The Pallas
+version (ops/pallas/atrous.py) tiles this stencil through VMEM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+    camera as cam_ops,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.barycentric import (
+    barycentric_coordinates,
+)
+
+
+def shift_clamped(img, dy: int, dx: int):
+    """img[clamp(y+dy), clamp(x+dx)] -- the shader's pixel clamp
+    (temporalFiltering.comp.glsl:136) as an edge-padded slice."""
+    if dy == 0 and dx == 0:
+        return img
+    h, w = img.shape[0], img.shape[1]
+    pad = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))]
+    pad += [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad, mode="edge")
+    y0 = max(dy, 0)
+    x0 = max(dx, 0)
+    return padded[y0 : y0 + h, x0 : x0 + w]
+
+
+def atrous_iteration(color, normal_img, depth, k: int, cfg):
+    """One wavelet iteration at stride k (waveletTransformOddIteration,
+    temporalFiltering.comp.glsl:118-155)."""
+    cp, np_, dp = color, normal_img, depth
+    num = jnp.zeros_like(color)
+    den = jnp.zeros_like(depth)
+    h_box = jnp.float32(1.0 / 9.0)
+    # GLSL loops i (x offset) outer, j (y offset) inner -- same accumulation
+    # order keeps fp summation comparable.
+    for i in (-1, 0, 1):
+        for j in (-1, 0, 1):
+            cq = shift_clamped(color, j * k, i * k)
+            nq = shift_clamped(normal_img, j * k, i * k)
+            dq = shift_clamped(depth, j * k, i * k)
+            w_n = jnp.power(
+                jnp.maximum(jnp.sum(np_ * nq, axis=-1), 0.0),
+                jnp.float32(cfg.sigma_n),
+            )
+            w_z = jnp.exp(-jnp.abs(dp - dq) / jnp.float32(cfg.sigma_z))
+            w_l = jnp.exp(
+                -jnp.linalg.norm(cp - cq, axis=-1) / jnp.float32(cfg.sigma_l)
+            )
+            w = w_n * w_z * w_l
+            num = num + (h_box * w)[..., None] * cq
+            den = den + h_box * w
+    # den >= h_box always (the center tap has weight 1), so no guard needed.
+    return num / den[..., None]
+
+
+def atrous_filter(color, normal_img, depth, cfg):
+    """All cfg.wavelet_iterations iterations (strides 1..n, main.cpp:1259)."""
+    out = color
+    for k in range(1, cfg.wavelet_iterations + 1):
+        out = atrous_iteration(out, normal_img, depth, k, cfg)
+    return out
+
+
+def backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg):
+    """Previous-frame integer pixel of each surface pixel
+    (temporalFiltering.comp.glsl:213-239). Background keeps its own pixel."""
+    h, w = gbuf.visibility.shape
+    prim = gbuf.visibility.astype(jnp.int32)
+    tri_prev = lut_prev[prim]
+    v1p, v2p, v3p = (
+        tri_prev[..., 0, :],
+        tri_prev[..., 1, :],
+        tri_prev[..., 2, :],
+    )
+    # Quirk: barycentrics of the CURRENT position against the PREVIOUS
+    # vertices (temporalFiltering.comp.glsl:221-229).
+    bary = barycentric_coordinates(gbuf.world_pos, v1p, v2p, v3p)
+    world_prev = (
+        bary[..., 0:1] * v1p + bary[..., 1:2] * v2p + bary[..., 2:3] * v3p
+    )
+    screen = cam_ops.world_to_pixel(world_prev, view_prev, proj_prev, w, h)
+    # ivec2 cast truncates toward zero (GLSL int()).
+    px = screen[..., 0].astype(jnp.int32)
+    py = screen[..., 1].astype(jnp.int32)
+
+    own_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    own_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    background = gbuf.visibility < 1.0
+    px = jnp.where(background, own_x, px)
+    py = jnp.where(background, own_y, py)
+    # The reference relies on robust image access for out-of-view gathers;
+    # we clamp instead (documented deviation: border pixels during fast
+    # motion read the edge texel rather than black).
+    px = jnp.clip(px, 0, w - 1)
+    py = jnp.clip(py, 0, h - 1)
+    return py, px
+
+
+def temporal_accumulate(
+    filtered, prev_image, gbuf, lut_prev, view_prev, proj_prev, frame_idx,
+    lam, cfg,
+):
+    """EMA blend against the reprojected history
+    (temporalFiltering.comp.glsl:242-263). ``lam`` drives adaptive alpha when
+    cfg.adaptive_alpha (the reference's commented-out :246-248 wired up)."""
+    py, px = backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg)
+    reprojected = prev_image[py, px]
+    alpha = jnp.float32(cfg.ema_alpha)
+    if cfg.adaptive_alpha:
+        alpha = (1.0 - lam) * alpha + lam
+        alpha = alpha[..., None]
+    blended = reprojected * (1.0 - alpha) + filtered * alpha
+    return jnp.where(frame_idx > 0, blended, filtered)

@@ -1,0 +1,153 @@
+"""Ray/scene intersection, shaped for the TPU MXU.
+
+The reference leans on VK_KHR_ray_query hardware traversal
+(raytrace.comp.glsl:208-222). A TPU has no BVH silicon but it has a 128x128
+systolic array, so the nearest-hit query is re-derived as dense linear
+algebra: we precompute per-triangle plane equations (Havel-Herout style) and
+reduce the per-(ray, triangle) work to six (N, 3) @ (3, T) matmuls plus an
+elementwise epilogue and an argmin over T. For Cornell-class scenes this is
+exact and faster than any tree; large scenes switch to the LBVH path
+(scene/lbvh.py) which culls the candidate set before this same dense test.
+
+Plane precomputation (per triangle with edges e1, e2 and normal n = e1 x e2):
+    t  = (dot(n, v0) - dot(n, o)) / dot(n, d)
+    u  = dot(n1, o) + t * dot(n1, d) + d1      n1 = (e2 x n) / |n|^2
+    v  = dot(n2, o) + t * dot(n2, d) + d2      n2 = (n x e1) / |n|^2
+hit iff u >= 0, v >= 0, u + v <= 1 and t in (0, t_max] -- the same
+barycentric-inside test the hardware ray query commits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class TrianglePlanes(NamedTuple):
+    """Precomputed per-triangle intersection constants (all (T, ...))."""
+
+    v0: jnp.ndarray       # (T, 3)
+    e1: jnp.ndarray       # (T, 3) v1 - v0
+    e2: jnp.ndarray       # (T, 3) v2 - v0
+    n: jnp.ndarray        # (T, 3) unnormalized geometric normal e1 x e2
+    d0: jnp.ndarray       # (T,)   dot(n, v0)
+    n1: jnp.ndarray       # (T, 3) barycentric-u plane normal
+    d1: jnp.ndarray       # (T,)   barycentric-u plane offset
+    n2: jnp.ndarray       # (T, 3) barycentric-v plane normal
+    d2: jnp.ndarray       # (T,)   barycentric-v plane offset
+
+
+def build_triangle_planes(triangles: jnp.ndarray) -> TrianglePlanes:
+    """Precompute plane constants from (T, 3, 3) triangle vertices."""
+    v0 = triangles[:, 0, :]
+    e1 = triangles[:, 1, :] - v0
+    e2 = triangles[:, 2, :] - v0
+    n = jnp.cross(e1, e2)
+    inv_nn = 1.0 / jnp.sum(n * n, axis=-1, keepdims=True)
+    n1 = jnp.cross(e2, n) * inv_nn
+    n2 = jnp.cross(n, e1) * inv_nn
+    return TrianglePlanes(
+        v0=v0,
+        e1=e1,
+        e2=e2,
+        n=n,
+        d0=jnp.sum(n * v0, axis=-1),
+        n1=n1,
+        d1=-jnp.sum(n1 * v0, axis=-1),
+        n2=n2,
+        d2=-jnp.sum(n2 * v0, axis=-1),
+    )
+
+
+class HitRecord(NamedTuple):
+    """Nearest-hit query result for a batch of rays (leading dims shared)."""
+
+    t: jnp.ndarray        # (...,)  hit distance (t_max where no hit)
+    prim: jnp.ndarray     # (...,)  int32 triangle index (0 where no hit)
+    hit: jnp.ndarray      # (...,)  bool
+    bary_u: jnp.ndarray   # (...,)  barycentric u of the committed hit
+    bary_v: jnp.ndarray   # (...,)  barycentric v of the committed hit
+
+
+def nearest_hit(
+    planes: TrianglePlanes,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_max: float = 10000.0,
+    eps: float = 1e-9,
+) -> HitRecord:
+    """Closest triangle along each ray (the rayQueryProceed loop's result).
+
+    ``origins``/``directions``: (..., 3). All (ray x triangle) interaction
+    terms are matmuls so XLA tiles them onto the MXU; the (N, T) epilogue is
+    fused elementwise VPU work.
+    """
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = directions.reshape(-1, 3)
+
+    no = o @ planes.n.T          # (N, T)
+    nd = d @ planes.n.T
+    n1o = o @ planes.n1.T
+    n1d = d @ planes.n1.T
+    n2o = o @ planes.n2.T
+    n2d = d @ planes.n2.T
+
+    safe_nd = jnp.where(jnp.abs(nd) < eps, eps, nd)
+    t = (planes.d0[None, :] - no) / safe_nd
+    u = n1o + t * n1d + planes.d1[None, :]
+    v = n2o + t * n2d + planes.d2[None, :]
+
+    valid = (
+        (jnp.abs(nd) >= eps)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+        & (t <= t_max)
+    )
+    t_cand = jnp.where(valid, t, jnp.float32(t_max) * 2.0)
+    prim = jnp.argmin(t_cand, axis=-1).astype(jnp.int32)
+    t_hit = jnp.take_along_axis(t_cand, prim[:, None], axis=-1)[:, 0]
+    hit = jnp.take_along_axis(valid, prim[:, None], axis=-1)[:, 0]
+    bu = jnp.take_along_axis(u, prim[:, None], axis=-1)[:, 0]
+    bv = jnp.take_along_axis(v, prim[:, None], axis=-1)[:, 0]
+
+    return HitRecord(
+        t=jnp.where(hit, t_hit, jnp.float32(t_max)).reshape(batch_shape),
+        prim=jnp.where(hit, prim, 0).reshape(batch_shape),
+        hit=hit.reshape(batch_shape),
+        bary_u=jnp.where(hit, bu, 0.0).reshape(batch_shape),
+        bary_v=jnp.where(hit, bv, 0.0).reshape(batch_shape),
+    )
+
+
+def hit_position(planes: TrianglePlanes, rec: HitRecord) -> jnp.ndarray:
+    """World position of committed hits, via barycentrics like the reference
+    (raytrace.comp.glsl:133-139): p = v0*(1-u-v) + v1*u + v2*v."""
+    v0 = planes.v0[rec.prim]
+    e1 = planes.e1[rec.prim]
+    e2 = planes.e2[rec.prim]
+    return v0 + rec.bary_u[..., None] * e1 + rec.bary_v[..., None] * e2
+
+
+def ray_sphere(origins, directions, center, radius):
+    """checkRayLightIntersection (raytrace.comp.glsl:168-198).
+
+    Returns (hit: bool, t: nearest positive root). Matches the reference:
+    a = dot(d, d) (not assumed 1), smallest positive of the two roots, no
+    far-plane clamp -- and, per the reference quirk, callers apply it
+    regardless of triangle occlusion.
+    """
+    oc = origins - center
+    a = jnp.sum(directions * directions, axis=-1)
+    b = 2.0 * jnp.sum(oc * directions, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - 4.0 * a * c
+    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b - sqrt_d) / (2.0 * a)
+    t2 = (-b + sqrt_d) / (2.0 * a)
+    t = jnp.where(t1 > 0.0, t1, t2)
+    hit = (disc >= 0.0) & (t > 0.0)
+    return hit, jnp.where(hit, t, 0.0)

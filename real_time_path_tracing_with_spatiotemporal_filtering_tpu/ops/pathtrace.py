@@ -1,0 +1,145 @@
+"""1-spp diffuse path tracer.
+
+Behavioral re-derivation of the reference's megakernel
+(raytrace.comp.glsl:200-344) as a vectorized bounce loop: instead of one GPU
+thread looping over <=32 ray segments, every pixel's ray advances in lockstep
+through a ``lax.fori_loop`` with an alive mask, and each bounce's
+ray/scene query is the dense MXU-shaped nearest-hit test (ops/intersect.py).
+Dead lanes are masked, not compacted -- for Cornell-class scenes the wasted
+lanes cost less than compaction; the wavefront/LBVH path (M6) compacts.
+
+Reference quirks reproduced deliberately (cfg-gated where noted):
+  * the sphere light is tested against the raw ray, ignoring occluders, so
+    it shines through walls (raytrace.comp.glsl:226-235; cfg.light_through_walls)
+  * a first-segment light hit is dimmed by 5 ("eye safety", raytrace:229)
+  * rays that survive all 32 segments return their albedo product with no
+    emission (loop fall-through, raytrace:270)
+  * albedo is keyed on the UNflipped geometric normal (raytrace:155-163)
+  * RNG draw order: 2 Gaussians for AA jitter, then (theta, u) per diffuse
+    bounce (raytrace:314, 256-257) -- bit-exact PCG streams (ops/rng.py)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+    camera as cam_ops,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+    intersect,
+    rng as rng_ops,
+    shading,
+)
+
+
+def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, cfg):
+    """Trace one path per lane to termination.
+
+    ``origins``/``dirs``: (..., 3); ``rng_state``: (...,) uint32 (already
+    advanced past the AA jitter draws). ``light_color_hdr`` is the HDR light
+    color (base * cfg.light_intensity, raytrace.comp.glsl:281). Returns the
+    per-lane radiance (..., 3).
+    """
+    accum = jnp.ones(origins.shape, jnp.float32)
+    result = jnp.zeros(origins.shape, jnp.float32)
+    alive = jnp.ones(origins.shape[:-1], bool)
+
+    def body(segment, carry):
+        o, d, accum, result, alive, state = carry
+
+        rec = intersect.nearest_hit(
+            tri_data.planes, o, d, t_max=cfg.t_max, eps=cfg.intersect_eps
+        )
+        light_hit, light_t = intersect.ray_sphere(
+            o, d, light_pos, cfg.light_radius
+        )
+        if not cfg.light_through_walls:
+            # Non-parity mode: the light only terminates the path if it is
+            # closer than the committed triangle hit.
+            light_hit = light_hit & (~rec.hit | (light_t < rec.t))
+
+        # --- light termination (checked first, raytrace.comp.glsl:226-235)
+        is_first = segment == 0
+        dim = jnp.where(is_first, 1.0 / cfg.first_hit_light_dim, 1.0)
+        light_term = alive & light_hit
+        result = jnp.where(
+            light_term[..., None], accum * light_color_hdr * dim, result
+        )
+
+        # --- triangle bounce (raytrace.comp.glsl:238-262)
+        tri_hit = alive & ~light_hit & rec.hit
+        n_geo = tri_data.normals[rec.prim]              # unflipped (T,3) gather
+        albedo = tri_data.albedo[rec.prim]
+        accum = jnp.where(tri_hit[..., None], accum * albedo, accum)
+        n_ff = shading.faceforward(n_geo, d)
+        hit_pos = intersect.hit_position(tri_data.planes, rec)
+        new_o = hit_pos + cfg.ray_offset_eps * n_ff
+        new_state, sphere_vec = rng_ops.random_unit_sphere(state)
+        new_d = n_ff + sphere_vec
+        new_d = new_d / jnp.linalg.norm(new_d, axis=-1, keepdims=True)
+        o = jnp.where(tri_hit[..., None], new_o, o)
+        d = jnp.where(tri_hit[..., None], new_d, d)
+        # Only lanes that actually bounced consumed randoms (raytrace:256-257).
+        state = jnp.where(tri_hit, new_state, state)
+
+        # --- sky termination (raytrace.comp.glsl:263-268)
+        sky_term = alive & ~light_hit & ~rec.hit
+        result = jnp.where(
+            sky_term[..., None], accum * shading.sky_color(d), result
+        )
+
+        alive = tri_hit
+        return o, d, accum, result, alive, state
+
+    o, d, accum, result, alive, _ = jax.lax.fori_loop(
+        0, cfg.max_bounces, body, (origins, dirs, accum, result, alive, rng_state)
+    )
+    # Loop fall-through: surviving paths return the bare albedo product
+    # (raytrace.comp.glsl:270).
+    return jnp.where(alive[..., None], accum, result)
+
+
+def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg):
+    """Full path-trace pass: per-pixel seeds, AA jitter, spp loop, average
+    (raytrace.comp.glsl:273-344). Returns the noisy radiance (H, W, 3)."""
+    h, w = cfg.height, cfg.width
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    light_color_hdr = light.color * jnp.float32(cfg.light_intensity)
+
+    def one_batch(batch_idx, acc):
+        state = rng_ops.seed_per_pixel(px, py, frame_idx, batch_idx)
+
+        def one_sample(_, inner):
+            acc_s, state_s = inner
+            state_s, gx, gy = rng_ops.random_gaussian(state_s)
+            dirs = cam_ops.pixel_rays(
+                px,
+                py,
+                w,
+                h,
+                cfg.fov,
+                jitter_x=jnp.float32(cfg.aa_sigma) * gx,
+                jitter_y=jnp.float32(cfg.aa_sigma) * gy,
+            )
+            origins = jnp.broadcast_to(camera_pos, (h, w, 3))
+            color = trace_paths(
+                tri_data, light.position, light_color_hdr, origins, dirs,
+                state_s, cfg,
+            )
+            # GLSL passes rngState by value into the path loop
+            # (raytrace.comp.glsl:200): the next sample continues from the
+            # post-jitter state, exactly as reproduced here.
+            return acc_s + color, state_s
+
+        summed, _ = jax.lax.fori_loop(
+            0, cfg.spp, one_sample, (jnp.zeros((h, w, 3), jnp.float32), state)
+        )
+        return acc + summed / jnp.float32(cfg.spp)
+
+    total = jax.lax.fori_loop(
+        0, cfg.sample_batches, one_batch, jnp.zeros((h, w, 3), jnp.float32)
+    )
+    return total / jnp.float32(cfg.sample_batches)

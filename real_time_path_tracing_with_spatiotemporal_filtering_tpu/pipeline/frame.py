@@ -1,0 +1,147 @@
+"""The frame function: the whole reference frame as one pure jitted program.
+
+The reference crosses the host/device boundary >= 16 times per frame with a
+full queue drain each time (main.cpp:1090-1113; SURVEY.md section 3.2). The
+TPU-native design collapses the four passes --
+
+    visibility G-buffer -> temporal gradient -> path trace -> a-trous+EMA
+
+-- into one XLA program over a History pytree: zero host round-trips, full
+cross-pass fusion, and history buffers donated back in place.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.config import (
+    RenderConfig,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+    atrous,
+    camera as cam_ops,
+    gbuffer,
+    gradient,
+    pathtrace,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.history import (
+    History,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+    Camera,
+    Light,
+    TriangleData,
+)
+
+
+def camera_matrices(camera_pos, cfg: RenderConfig):
+    """The reference's per-frame UBO matrices (main.cpp:1463-1475): a
+    translate-only view and glm::perspective(2*FOV) with the Vulkan y flip."""
+    view = cam_ops.reference_view(camera_pos)
+    proj = cam_ops.vulkan_perspective(
+        cfg.fov * 2.0, cfg.width / cfg.height, cfg.near, cfg.far
+    )
+    return view, proj
+
+
+def render_frame_impl(
+    tri_data: TriangleData,
+    camera: Camera,
+    light: Light,
+    history: History,
+    cfg: RenderConfig,
+):
+    """One frame: (triangle tables, camera, light, history) -> (rgb, history').
+
+    Pass order matches drawScene (main.cpp:1104-1110). Returns the final
+    denoised image and the next frame's history.
+    """
+    frame_idx = history.frame
+    view, proj = camera_matrices(camera.position, cfg)
+
+    # -- pass 1: visibility G-buffer (replaces visibility.{vert,geom,frag}) --
+    gbuf = gbuffer.visibility_pass(tri_data, camera.position, view, proj, cfg)
+    lut = tri_data.lut  # static geometry: rebuilt-per-frame in the reference
+
+    # -- pass 2: temporal gradient (temporalGradient.comp.glsl) --
+    lam = gradient.temporal_gradient_pass(
+        gbuf,
+        lut,
+        history.lut,
+        camera.position,
+        light.position,
+        history.light_pos,
+        light.color,
+        history.light_color,
+    )
+
+    # -- pass 3: path trace (raytrace.comp.glsl) --
+    noisy = pathtrace.path_trace_pass(
+        tri_data, camera.position, light, frame_idx, cfg
+    )
+
+    # -- pass 4: a-trous filter + temporal EMA (temporalFiltering.comp.glsl) --
+    normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
+    filtered = atrous.atrous_filter(noisy, normal_img, gbuf.depth, cfg)
+    rgb = atrous.temporal_accumulate(
+        filtered,
+        history.image,
+        gbuf,
+        history.lut,
+        history.view,
+        history.proj,
+        frame_idx,
+        lam,
+        cfg,
+    )
+
+    # -- history commit (the reference's end-of-frame blits, main.cpp:1361-72)
+    new_history = History(
+        image=rgb,
+        visibility=gbuf.visibility,
+        lut=lut,
+        view=view,
+        proj=proj,
+        light_pos=light.position,
+        light_color=light.color,
+        frame=frame_idx + 1,
+    )
+    return rgb, new_history
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("history",))
+def render_frame(tri_data, camera, light, history, cfg):
+    """Jitted :func:`render_frame_impl`; history buffers are donated so XLA
+    reuses them in place (the functional analogue of the reference's
+    ping-pong blits)."""
+    return render_frame_impl(tri_data, camera, light, history, cfg)
+
+
+def init_history(tri_data: TriangleData, cfg: RenderConfig) -> History:
+    """Frame-0 history.
+
+    Previous matrices start equal to the current ones (main.cpp:486-489);
+    the image/visibility planes start at zero (frame 0 skips blending,
+    temporalFiltering.comp.glsl:251-259, so their values never leak). The
+    previous LUT starts as the current LUT -- the reference leaves that
+    buffer uninitialized on frame 0 (it is only copied at end-of-frame,
+    main.cpp:1370-1372) and nothing consumes it before frame 1.
+    """
+    camera = Camera.default()
+    light = Light.default()
+    view, proj = camera_matrices(camera.position, cfg)
+    return History(
+        image=jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+        visibility=jnp.zeros((cfg.height, cfg.width), jnp.float32),
+        # copy=True: the history is donated to the jitted frame, so it must
+        # not alias the (non-donated) tri_data.lut buffer.
+        lut=jnp.array(tri_data.lut, copy=True),
+        view=view,
+        proj=proj,
+        light_pos=light.position,
+        light_color=light.color,
+        frame=jnp.zeros((), jnp.int32),
+    )

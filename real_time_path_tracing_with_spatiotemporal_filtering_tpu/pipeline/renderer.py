@@ -1,0 +1,110 @@
+"""Stateful convenience wrapper around the pure frame function.
+
+Plays the role of the reference's PathTracingApplication main loop
+(main.cpp:179-308) minus the window: owns the scene tables, the history
+pytree and the frame counter, and exposes step()/checkpointing. All actual
+rendering goes through the single jitted frame function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.config import (
+    RenderConfig,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline import frame as frame_mod
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.history import (
+    History,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+    Camera,
+    Light,
+    Scene,
+    precompute_triangle_data,
+)
+
+
+class Renderer:
+    """Owns scene tables + history; one step() per frame.
+
+    The reference has no checkpoint/resume (SURVEY.md section 5.4); here the
+    history pytree is trivially serializable, so save_state/load_state give
+    exact mid-sequence resume for free.
+    """
+
+    def __init__(
+        self,
+        scene: Scene,
+        cfg: RenderConfig = RenderConfig(),
+        camera: Optional[Camera] = None,
+        light: Optional[Light] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.scene = scene
+        self.tri_data = precompute_triangle_data(scene)
+        self.camera = camera if camera is not None else Camera.default()
+        self.light = light if light is not None else Light.default()
+        self.history = frame_mod.init_history(self.tri_data, cfg)
+
+    def step(self) -> jnp.ndarray:
+        """Render one frame with the current camera/light; returns (H, W, 3)."""
+        rgb, self.history = frame_mod.render_frame(
+            self.tri_data, self.camera, self.light, self.history, self.cfg
+        )
+        return rgb
+
+    def render(self, num_frames: int) -> jnp.ndarray:
+        """Render ``num_frames`` and return the last frame."""
+        rgb = None
+        for _ in range(num_frames):
+            rgb = self.step()
+        assert rgb is not None
+        return rgb
+
+    @property
+    def frame_count(self) -> int:
+        return int(self.history.frame)
+
+    # --- checkpoint / resume -------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Serialize history + camera/light to an .npz (exact resume)."""
+        leaves, treedef = jax.tree_util.tree_flatten(
+            (self.history, self.camera, self.light)
+        )
+        np.savez(
+            path, *[np.asarray(leaf) for leaf in leaves], _num_leaves=len(leaves)
+        )
+
+    def load_state(self, path: str) -> None:
+        with np.load(path) as data:
+            n = int(data["_num_leaves"])
+            leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(n)]
+        _, treedef = jax.tree_util.tree_flatten(
+            (self.history, self.camera, self.light)
+        )
+        self.history, self.camera, self.light = jax.tree_util.tree_unflatten(
+            treedef, leaves
+        )
+
+    # --- interaction ----------------------------------------------------
+    def move_camera(self, dx: float = 0.0, dy: float = 0.0, dz: float = 0.0):
+        self.camera = dataclasses.replace(
+            self.camera,
+            position=self.camera.position
+            + jnp.array([dx, dy, dz], jnp.float32),
+        )
+
+    def move_light(self, dx: float = 0.0, dy: float = 0.0, dz: float = 0.0):
+        """Light translation with the reference's x wraparound
+        (main.cpp:1149-1160: x > 2 wraps to -20 and vice versa)."""
+        pos = self.light.position + jnp.array([dx, dy, dz], jnp.float32)
+        x = pos[0]
+        x = jnp.where(x > self.cfg.light_x_wrap_hi, self.cfg.light_x_wrap_lo, x)
+        x = jnp.where(x < self.cfg.light_x_wrap_lo, self.cfg.light_x_wrap_hi, x)
+        self.light = dataclasses.replace(self.light, position=pos.at[0].set(x))

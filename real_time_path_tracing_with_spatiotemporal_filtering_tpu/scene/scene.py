@@ -1,0 +1,127 @@
+"""Scene, camera and light pytrees.
+
+The reference's scene state is a pile of Vulkan buffers (vertex/index
+buffers, visibility LUT, UBO matrices -- main.cpp:357-407, 471-478) mutated
+in place; here it is immutable pytrees flowing through a pure frame function.
+``TriangleData`` is the device-resident, precomputed form: intersection
+planes, per-triangle unit normals, albedos, and the (T+1, 3, 3) visibility
+LUT (slot 0 reserved for background, visibility.geom.glsl:32-35).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import shading
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.intersect import (
+    TrianglePlanes,
+    build_triangle_planes,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.utils.pytree import (
+    pytree_dataclass,
+)
+
+
+@pytree_dataclass
+class Scene:
+    """Triangle mesh in world space (model transform pre-applied; the
+    reference's model matrix is always identity, main.cpp:482/1470)."""
+
+    vertices: jnp.ndarray  # (V, 3) float32
+    indices: jnp.ndarray   # (T, 3) int32
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def triangles(self) -> jnp.ndarray:
+        """(T, 3, 3) gathered triangle vertices."""
+        return self.vertices[self.indices]
+
+    @classmethod
+    def from_arrays(cls, vertices: np.ndarray, indices: np.ndarray) -> "Scene":
+        return cls(
+            vertices=jnp.asarray(vertices, jnp.float32),
+            indices=jnp.asarray(indices, jnp.int32),
+        )
+
+    @classmethod
+    def cornell_box(cls) -> "Scene":
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+            procedural,
+        )
+
+        return cls.from_arrays(*procedural.cornell_box())
+
+
+@pytree_dataclass
+class Camera:
+    """Translate-only pinhole camera (the reference camera never rotates:
+    rays go along -z, raytrace.comp.glsl:319; view is a translation,
+    main.cpp:1471)."""
+
+    position: jnp.ndarray  # (3,) float32
+
+    @classmethod
+    def default(cls) -> "Camera":
+        # main.cpp:65 cameraOrigin(-0.001, 1.0, 6.0)
+        return cls(position=jnp.array([-0.001, 1.0, 6.0], jnp.float32))
+
+
+@pytree_dataclass
+class Light:
+    """Analytic sphere light (raytrace.comp.glsl:26-30, 278-282). ``color``
+    is the LDR base color; kernels scale by cfg.light_intensity."""
+
+    position: jnp.ndarray  # (3,) float32
+    color: jnp.ndarray     # (3,) float32
+
+    @classmethod
+    def default(cls) -> "Light":
+        # main.cpp:70-72: lightPos(1, 1.0, -0.4), lightColor(0.5, 0.5, 0.5)
+        return cls(
+            position=jnp.array([1.0, 1.0, -0.4], jnp.float32),
+            color=jnp.array([0.5, 0.5, 0.5], jnp.float32),
+        )
+
+
+@pytree_dataclass
+class TriangleData:
+    """Precomputed device-side triangle tables.
+
+    ``lut`` is the visibility LUT: world-space triangle vertices at slot
+    primID+1 with slot 0 zeroed for background -- the same layout the
+    reference's geometry shader scatters every frame
+    (visibility.geom.glsl:32-35). With static geometry we build it once.
+    ``lut_normals`` caches getNormalFromTriangleIndex
+    (temporalFiltering.comp.glsl:80-91): slot 0 is the background sentinel
+    normal (0, 0, 1).
+    """
+
+    planes: TrianglePlanes     # intersection constants, all (T, ...)
+    normals: jnp.ndarray       # (T, 3) unit geometric normals (raytrace:150)
+    albedo: jnp.ndarray        # (T, 3) hardcoded material (raytrace:155-163)
+    lut: jnp.ndarray           # (T+1, 3, 3) visibility LUT
+    lut_normals: jnp.ndarray   # (T+1, 3) filter normals w/ background slot
+
+
+def precompute_triangle_data(scene: Scene) -> TriangleData:
+    """Build all per-triangle tables. Pure and jittable; for static scenes
+    call once at load, for animated geometry call per frame on the
+    transformed vertices."""
+    tris = scene.triangles
+    planes = build_triangle_planes(tris)
+    normals = planes.n / jnp.linalg.norm(planes.n, axis=-1, keepdims=True)
+    albedo = shading.albedo_from_normal(normals)
+    lut = jnp.concatenate([jnp.zeros((1, 3, 3), tris.dtype), tris], axis=0)
+    background_normal = jnp.array([[0.0, 0.0, 1.0]], jnp.float32)
+    lut_normals = jnp.concatenate([background_normal, normals], axis=0)
+    return TriangleData(
+        planes=planes,
+        normals=normals,
+        albedo=albedo,
+        lut=lut,
+        lut_normals=lut_normals,
+    )
