@@ -51,20 +51,43 @@ def shift_clamped(img, dy: int, dx: int):
     return padded[y0 : y0 + h, x0 : x0 + w]
 
 
-def atrous_iteration(color, normal_img, depth, k: int, cfg):
+def _tap(img, j: int, i: int, k: int, halo: int):
+    """Neighbor sample at offset (j*k rows, i*k cols).
+
+    halo == 0: edge-clamped in both axes (single-chip semantics).
+    halo > 0: rows are pre-padded by ``halo`` (>= k) rows top and bottom
+    (globally edge-clamped halos exchanged over ICI by the caller); columns
+    stay locally clamped since sharding is rows-only.
+    """
+    if halo == 0:
+        return shift_clamped(img, j * k, i * k)
+    h = img.shape[0] - 2 * halo
+    rows = img[halo + j * k : halo + j * k + h]
+    return shift_clamped(rows, 0, i * k)
+
+
+def atrous_iteration(color, normal_img, depth, k: int, cfg, halo: int = 0):
     """One wavelet iteration at stride k (waveletTransformOddIteration,
-    temporalFiltering.comp.glsl:118-155)."""
-    cp, np_, dp = color, normal_img, depth
-    num = jnp.zeros_like(color)
-    den = jnp.zeros_like(depth)
+    temporalFiltering.comp.glsl:118-155).
+
+    With ``halo`` > 0 the inputs carry ``halo`` pre-exchanged extra rows on
+    each side and the output drops them (sharded mode; see parallel/).
+    """
+    if halo:
+        center = slice(halo, color.shape[0] - halo)
+        cp, np_, dp = color[center], normal_img[center], depth[center]
+    else:
+        cp, np_, dp = color, normal_img, depth
+    num = jnp.zeros_like(cp)
+    den = jnp.zeros_like(dp)
     h_box = jnp.float32(1.0 / 9.0)
     # GLSL loops i (x offset) outer, j (y offset) inner -- same accumulation
     # order keeps fp summation comparable.
     for i in (-1, 0, 1):
         for j in (-1, 0, 1):
-            cq = shift_clamped(color, j * k, i * k)
-            nq = shift_clamped(normal_img, j * k, i * k)
-            dq = shift_clamped(depth, j * k, i * k)
+            cq = _tap(color, j, i, k, halo)
+            nq = _tap(normal_img, j, i, k, halo)
+            dq = _tap(depth, j, i, k, halo)
             w_n = jnp.power(
                 jnp.maximum(jnp.sum(np_ * nq, axis=-1), 0.0),
                 jnp.float32(cfg.sigma_n),
@@ -88,9 +111,11 @@ def atrous_filter(color, normal_img, depth, cfg):
     return out
 
 
-def backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg):
+def backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg, row_offset=0):
     """Previous-frame integer pixel of each surface pixel
-    (temporalFiltering.comp.glsl:213-239). Background keeps its own pixel."""
+    (temporalFiltering.comp.glsl:213-239). Background keeps its own pixel.
+    Returned coordinates are GLOBAL image coordinates; ``row_offset`` maps a
+    local row slab to its global rows."""
     h, w = gbuf.visibility.shape
     prim = gbuf.visibility.astype(jnp.int32)
     tri_prev = lut_prev[prim]
@@ -105,32 +130,40 @@ def backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg):
     world_prev = (
         bary[..., 0:1] * v1p + bary[..., 1:2] * v2p + bary[..., 2:3] * v3p
     )
-    screen = cam_ops.world_to_pixel(world_prev, view_prev, proj_prev, w, h)
+    screen = cam_ops.world_to_pixel(
+        world_prev, view_prev, proj_prev, cfg.width, cfg.height
+    )
     # ivec2 cast truncates toward zero (GLSL int()).
     px = screen[..., 0].astype(jnp.int32)
     py = screen[..., 1].astype(jnp.int32)
 
     own_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    own_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    own_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row_offset
     background = gbuf.visibility < 1.0
     px = jnp.where(background, own_x, px)
     py = jnp.where(background, own_y, py)
     # The reference relies on robust image access for out-of-view gathers;
     # we clamp instead (documented deviation: border pixels during fast
     # motion read the edge texel rather than black).
-    px = jnp.clip(px, 0, w - 1)
-    py = jnp.clip(py, 0, h - 1)
+    px = jnp.clip(px, 0, cfg.width - 1)
+    py = jnp.clip(py, 0, cfg.height - 1)
     return py, px
 
 
 def temporal_accumulate(
     filtered, prev_image, gbuf, lut_prev, view_prev, proj_prev, frame_idx,
-    lam, cfg,
+    lam, cfg, row_offset=0,
 ):
     """EMA blend against the reprojected history
     (temporalFiltering.comp.glsl:242-263). ``lam`` drives adaptive alpha when
-    cfg.adaptive_alpha (the reference's commented-out :246-248 wired up)."""
-    py, px = backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg)
+    cfg.adaptive_alpha (the reference's commented-out :246-248 wired up).
+
+    ``prev_image`` is always the FULL-height previous frame (reprojection
+    gathers are global); in sharded mode the caller all-gathers it and
+    passes the local slab's ``row_offset``."""
+    py, px = backproject_pixels(
+        gbuf, lut_prev, view_prev, proj_prev, cfg, row_offset=row_offset
+    )
     reprojected = prev_image[py, px]
     alpha = jnp.float32(cfg.ema_alpha)
     if cfg.adaptive_alpha:

@@ -35,17 +35,22 @@ class GBuffer(NamedTuple):
     depth: jnp.ndarray       # (H, W) raster-equivalent NDC depth (1 for bg)
 
 
-def visibility_pass(tri_data, camera_pos, view, proj, cfg) -> GBuffer:
+def visibility_pass(tri_data, camera_pos, view, proj, cfg, row_offset=0, rows=None) -> GBuffer:
     """Trace one center ray per pixel and assemble the G-buffer.
 
     ``view``/``proj`` are only used to reproduce the raster depth channel
     (clip.z/clip.w) that feeds the filter's depth edge-stopping weight
     (temporalFiltering.comp.glsl:66-69, 123).
+
+    ``row_offset``/``rows`` support row-sharded execution under shard_map:
+    the pass renders ``rows`` rows starting at global row ``row_offset``
+    (pixel seeds and ray directions are functions of GLOBAL pixel coords).
     """
-    h, w = cfg.height, cfg.width
-    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    h = cfg.height if rows is None else rows
+    w = cfg.width
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row_offset
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    dirs = cam_ops.pixel_rays(px, py, w, h, cfg.fov)
+    dirs = cam_ops.pixel_rays(px, py, cfg.width, cfg.height, cfg.fov)
     origins = jnp.broadcast_to(camera_pos, (h, w, 3))
 
     rec = intersect.nearest_hit(

@@ -101,11 +101,17 @@ def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, 
     return jnp.where(alive[..., None], accum, result)
 
 
-def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg):
+def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, rows=None):
     """Full path-trace pass: per-pixel seeds, AA jitter, spp loop, average
-    (raytrace.comp.glsl:273-344). Returns the noisy radiance (H, W, 3)."""
-    h, w = cfg.height, cfg.width
-    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    (raytrace.comp.glsl:273-344). Returns the noisy radiance (H, W, 3).
+
+    ``row_offset``/``rows``: render a row slab for sharded execution; seeds
+    and rays are functions of GLOBAL pixel coordinates, so a sharded render
+    is bitwise identical to the single-chip one.
+    """
+    h = cfg.height if rows is None else rows
+    w = cfg.width
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row_offset
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     light_color_hdr = light.color * jnp.float32(cfg.light_intensity)
 
@@ -118,8 +124,8 @@ def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg):
             dirs = cam_ops.pixel_rays(
                 px,
                 py,
-                w,
-                h,
+                cfg.width,
+                cfg.height,
                 cfg.fov,
                 jitter_x=jnp.float32(cfg.aa_sigma) * gx,
                 jitter_y=jnp.float32(cfg.aa_sigma) * gy,

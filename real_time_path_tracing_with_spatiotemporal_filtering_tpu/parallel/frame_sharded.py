@@ -1,0 +1,162 @@
+"""Row-sharded frame function: the full pipeline under shard_map.
+
+Design (SURVEY.md sections 2, 5.7-5.8): the pixel grid's rows are sharded
+across a 1-D mesh. G-buffer, gradient and path tracing are embarrassingly
+parallel per pixel with the (tiny) scene replicated -- zero communication.
+The a-trous filter at stride k needs a k-row halo per side per iteration,
+exchanged with neighbor shards over ICI (ppermute). Temporal reprojection
+gathers arbitrary previous-frame pixels, so the (small) history image is
+all-gathered once per frame; everything else stays sharded.
+
+Because pixel seeds, ray directions and filter taps are all functions of
+GLOBAL pixel coordinates, the sharded render is numerically identical to
+the single-chip one (tested on a virtual CPU mesh, tests/test_sharding.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.config import (
+    RenderConfig,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+    atrous,
+    gbuffer,
+    gradient,
+    pathtrace,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.parallel.sharding import (
+    ROW_AXIS,
+    exchange_row_halo,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.frame import (
+    camera_matrices,
+    init_history,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.history import (
+    History,
+)
+
+
+def _history_spec(axis: str) -> History:
+    """PartitionSpec pytree for History: image planes row-sharded, scene/
+    camera state replicated."""
+    return History(
+        image=P(axis),
+        visibility=P(axis),
+        lut=P(),
+        view=P(),
+        proj=P(),
+        light_pos=P(),
+        light_color=P(),
+        frame=P(),
+    )
+
+
+def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis: str):
+    """Per-device slab of the frame. ``history_local`` carries this shard's
+    rows of image/visibility and replicated everything-else."""
+    n = jax.lax.axis_size(axis)
+    local_h = cfg.height // n
+    row_offset = jax.lax.axis_index(axis) * local_h
+
+    frame_idx = history_local.frame
+    view, proj = camera_matrices(camera.position, cfg)
+
+    gbuf = gbuffer.visibility_pass(
+        tri_data, camera.position, view, proj, cfg,
+        row_offset=row_offset, rows=local_h,
+    )
+    lut = tri_data.lut
+
+    lam = gradient.temporal_gradient_pass(
+        gbuf, lut, history_local.lut, camera.position,
+        light.position, history_local.light_pos,
+        light.color, history_local.light_color,
+    )
+
+    noisy = pathtrace.path_trace_pass(
+        tri_data, camera.position, light, frame_idx, cfg,
+        row_offset=row_offset, rows=local_h,
+    )
+
+    normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
+    c = noisy
+    for k in range(1, cfg.wavelet_iterations + 1):
+        c = atrous.atrous_iteration(
+            exchange_row_halo(c, k, axis),
+            exchange_row_halo(normal_img, k, axis),
+            exchange_row_halo(gbuf.depth, k, axis),
+            k, cfg, halo=k,
+        )
+
+    prev_full = jax.lax.all_gather(history_local.image, axis, axis=0, tiled=True)
+    rgb = atrous.temporal_accumulate(
+        c, prev_full, gbuf, history_local.lut,
+        history_local.view, history_local.proj, frame_idx, lam, cfg,
+        row_offset=row_offset,
+    )
+
+    new_history = History(
+        image=rgb,
+        visibility=gbuf.visibility,
+        lut=lut,
+        view=view,
+        proj=proj,
+        light_pos=light.position,
+        light_color=light.color,
+        frame=frame_idx + 1,
+    )
+    return rgb, new_history
+
+
+def make_sharded_frame(cfg: RenderConfig, mesh, axis: str = ROW_AXIS):
+    """Build the jitted, row-sharded frame function for ``mesh``.
+
+    Returns ``frame(tri_data, camera, light, history) -> (rgb, history')``
+    where image planes are sharded P(axis) and everything else replicated.
+    """
+    n = mesh.shape[axis]
+    if cfg.height % n != 0:
+        raise ValueError(
+            f"height {cfg.height} must divide evenly over {n} devices"
+        )
+    if cfg.height // n < cfg.wavelet_iterations:
+        raise ValueError(
+            "each shard needs at least wavelet_iterations rows for the "
+            f"widest halo ({cfg.height // n} < {cfg.wavelet_iterations})"
+        )
+
+    hist_spec = _history_spec(axis)
+    shard_fn = jax.shard_map(
+        functools.partial(_frame_shard, cfg=cfg, axis=axis),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), hist_spec),
+        out_specs=(P(axis), hist_spec),
+        # loop carries seeded from replicated constants become device-varying
+        # inside the bounce loop; skip the static varying-axes check.
+        check_vma=False,
+    )
+    return jax.jit(shard_fn, donate_argnums=(3,))
+
+
+def init_sharded_history(tri_data, cfg: RenderConfig, mesh, axis: str = ROW_AXIS):
+    """init_history placed with the sharded layout (image planes P(axis))."""
+    from jax.sharding import NamedSharding
+
+    hist = init_history(tri_data, cfg)
+    # PartitionSpec subclasses tuple, so flatten the spec tree with an
+    # explicit leaf predicate rather than tree_map'ing over both trees.
+    leaves, treedef = jax.tree_util.tree_flatten(hist)
+    specs = jax.tree_util.tree_leaves(
+        _history_spec(axis), is_leaf=lambda x: isinstance(x, P)
+    )
+    placed = [
+        jax.device_put(x, NamedSharding(mesh, s)) for x, s in zip(leaves, specs)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, placed)
