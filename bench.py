@@ -37,11 +37,23 @@ def run_bench(width: int, height: int, frames: int, warmup: int, verbose: bool):
     for _ in range(warmup):
         renderer.step().block_until_ready()
 
+    import numpy as np
+
+    # Throughput timing: frames are serially dependent through the donated
+    # history pytree, so syncing on the last frame's output waits for the
+    # whole chain while letting dispatch overlap device execution. The sync
+    # is a one-pixel device->host transfer -- block_until_ready() returns
+    # early under the axon runtime and full-image transfers would pollute
+    # the measurement.
+    def sync(x):
+        np.asarray(x[0, 0])
+
+    sync(renderer.step())  # ensure warmup completed
     t0 = time.perf_counter()
     rgb = None
     for _ in range(frames):
         rgb = renderer.step()
-    rgb.block_until_ready()
+    sync(rgb)
     ms = (time.perf_counter() - t0) / frames * 1000.0
     return ms, platform
 

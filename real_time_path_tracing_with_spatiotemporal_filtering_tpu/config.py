@@ -66,6 +66,12 @@ class RenderConfig:
     light_x_wrap_lo: float = -20.0
     light_x_wrap_hi: float = 2.0
 
+    # --- execution backend ---
+    # "auto": Pallas megakernels on TPU, pure-XLA elsewhere.
+    # "xla": force the pure-XLA formulation (reference numerics, any device).
+    # "pallas": force Pallas kernels (interpret-mode off-TPU; slow, testing).
+    backend: str = "auto"
+
     # --- numerics ---
     dtype: str = "float32"  # compute dtype for the radiance path
     # Epsilon guarding degenerate ray/plane parallelism in the intersector
@@ -82,6 +88,8 @@ class RenderConfig:
             raise ValueError("wavelet_iterations must be odd (main.cpp:55)")
         if self.spp < 1 or self.max_bounces < 1:
             raise ValueError("spp and max_bounces must be >= 1")
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError("backend must be auto, xla or pallas")
 
     @property
     def resolution(self) -> tuple[int, int]:

@@ -150,6 +150,18 @@ def backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg, row_offset=0):
     return py, px
 
 
+def temporal_accumulate_at(filtered, prev_image, prev_y, prev_x, frame_idx, lam, cfg):
+    """EMA blend with precomputed backprojection coordinates (the Pallas
+    geometry kernel emits them); only the image gather + blend remain."""
+    reprojected = prev_image[prev_y, prev_x]
+    alpha = jnp.float32(cfg.ema_alpha)
+    if cfg.adaptive_alpha:
+        alpha = (1.0 - lam) * alpha + lam
+        alpha = alpha[..., None]
+    blended = reprojected * (1.0 - alpha) + filtered * alpha
+    return jnp.where(frame_idx > 0, blended, filtered)
+
+
 def temporal_accumulate(
     filtered, prev_image, gbuf, lut_prev, view_prev, proj_prev, frame_idx,
     lam, cfg, row_offset=0,

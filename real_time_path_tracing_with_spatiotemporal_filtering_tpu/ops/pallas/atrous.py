@@ -1,0 +1,172 @@
+"""Pallas a-trous stencil kernel.
+
+The XLA formulation (ops/atrous.py) makes 9 whole-image HBM round trips per
+iteration (one per tap); this kernel DMAs each row-slab plus a fixed halo
+into VMEM once and evaluates all 9 taps on-chip, writing each iteration's
+output once. Inputs are planar (H, W) channels pre-padded with edge values
+(the global pad reproduces the shader's pixel clamp,
+temporalFiltering.comp.glsl:136, without any in-kernel clamping).
+
+Mosaic alignment rules shape the layout: DMA row slices must be 8-aligned,
+so the halo is a fixed PAD_ROWS = 16 (>= max stride 9) regardless of the
+iteration's stride k, and the padded width is rounded up to a lane multiple
+(128). Weight math and accumulation order match ops.atrous.atrous_iteration
+op-for-op (same GLSL source: temporalFiltering.comp.glsl:118-155).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD_ROWS = 16   # fixed row halo, 8-aligned, >= max stride (9)
+PAD_COLS = 16   # left column pad, >= max stride
+TILE_ROWS = 8   # output slab height (grid dim 0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _iter_kernel(cr, cg, cb, nx, ny, nz, dd, out_r, out_g, out_b,
+                 scr, sem, *, k, cfg, width):
+    """One wavelet iteration at stride k over a TILE_ROWS row slab.
+
+    ``scr``: (7, TILE_ROWS + 2*PAD_ROWS, padded_width) VMEM scratch;
+    channel order cr, cg, cb, nx, ny, nz, depth.
+    """
+    i = pl.program_id(0)
+    rows = TILE_ROWS + 2 * PAD_ROWS
+    row_start = i * TILE_ROWS  # padded coords: unpadded row i*TH - PAD_ROWS
+
+    planes = (cr, cg, cb, nx, ny, nz, dd)
+    copies = [
+        pltpu.make_async_copy(
+            ref.at[pl.ds(row_start, rows), :], scr.at[c], sem.at[c]
+        )
+        for c, ref in enumerate(planes)
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    def window(c, dy, dx):
+        r0 = PAD_ROWS + dy
+        c0 = PAD_COLS + dx
+        return scr[c, r0 : r0 + TILE_ROWS, c0 : c0 + width]
+
+    cpr, cpg, cpb = window(0, 0, 0), window(1, 0, 0), window(2, 0, 0)
+    npx, npy, npz = window(3, 0, 0), window(4, 0, 0), window(5, 0, 0)
+    dp = window(6, 0, 0)
+
+    num_r = jnp.zeros_like(cpr)
+    num_g = jnp.zeros_like(cpr)
+    num_b = jnp.zeros_like(cpr)
+    den = jnp.zeros_like(cpr)
+    h_box = jnp.float32(1.0 / 9.0)
+    sig_n = jnp.float32(cfg.sigma_n)
+    inv_sz = jnp.float32(1.0 / cfg.sigma_z)
+    inv_sl = jnp.float32(1.0 / cfg.sigma_l)
+
+    # GLSL tap order: i (x offset) outer, j (y offset) inner
+    for ix in (-1, 0, 1):
+        for jy in (-1, 0, 1):
+            cqr = window(0, jy * k, ix * k)
+            cqg = window(1, jy * k, ix * k)
+            cqb = window(2, jy * k, ix * k)
+            nqx = window(3, jy * k, ix * k)
+            nqy = window(4, jy * k, ix * k)
+            nqz = window(5, jy * k, ix * k)
+            dq = window(6, jy * k, ix * k)
+
+            ndot = jnp.maximum(npx * nqx + npy * nqy + npz * nqz, 0.0)
+            w_n = jnp.power(ndot, sig_n)
+            w_z = jnp.exp(-jnp.abs(dp - dq) * inv_sz)
+            dr, dg, db = cpr - cqr, cpg - cqg, cpb - cqb
+            w_l = jnp.exp(-jnp.sqrt(dr * dr + dg * dg + db * db) * inv_sl)
+            w = w_n * w_z * w_l * h_box
+            num_r = num_r + w * cqr
+            num_g = num_g + w * cqg
+            num_b = num_b + w * cqb
+            den = den + w
+
+    inv_den = 1.0 / den
+    out_r[:] = num_r * inv_den
+    out_g[:] = num_g * inv_den
+    out_b[:] = num_b * inv_den
+
+
+def _pad_plane(x, padded_w):
+    h, w = x.shape
+    return jnp.pad(
+        x,
+        ((PAD_ROWS, PAD_ROWS), (PAD_COLS, padded_w - w - PAD_COLS)),
+        mode="edge",
+    )
+
+
+def supported(h: int, w: int, cfg) -> bool:
+    """The kernel needs 8-aligned slabs and strides within the fixed halo."""
+    return h % TILE_ROWS == 0 and cfg.wavelet_iterations <= PAD_ROWS
+
+
+def atrous_filter_pallas(color, normal, depth, cfg, interpret=False):
+    """All wavelet iterations (strides 1..n). ``color`` (H, W, 3) or a tuple
+    of 3 planes; ``normal`` likewise; ``depth`` (H, W). Returns (H, W, 3).
+
+    Falls back to the XLA filter when the shape is unsupported.
+    """
+    if isinstance(color, tuple):
+        cr, cg, cb = color
+    else:
+        cr, cg, cb = color[..., 0], color[..., 1], color[..., 2]
+    if isinstance(normal, tuple):
+        nx, ny, nz = normal
+    else:
+        nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+    h, w = cr.shape
+
+    if not supported(h, w, cfg):
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.atrous import (
+            atrous_filter,
+        )
+
+        color_img = jnp.stack([cr, cg, cb], axis=-1)
+        normal_img = jnp.stack([nx, ny, nz], axis=-1)
+        return atrous_filter(color_img, normal_img, depth, cfg)
+
+    padded_w = _round_up(w + 2 * PAD_COLS, 128)
+    nx_p, ny_p, nz_p = (
+        _pad_plane(nx, padded_w),
+        _pad_plane(ny, padded_w),
+        _pad_plane(nz, padded_w),
+    )
+    dd_p = _pad_plane(depth, padded_w)
+
+    grid = (h // TILE_ROWS,)
+    rows = TILE_ROWS + 2 * PAD_ROWS
+    for k in range(1, cfg.wavelet_iterations + 1):
+        kernel = functools.partial(_iter_kernel, k=k, cfg=cfg, width=w)
+        cr_p = _pad_plane(cr, padded_w)
+        cg_p = _pad_plane(cg, padded_w)
+        cb_p = _pad_plane(cb, padded_w)
+        cr, cg, cb = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+            out_specs=[
+                pl.BlockSpec((TILE_ROWS, w), lambda i: (i, 0)),
+            ] * 3,
+            out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3,
+            scratch_shapes=[
+                pltpu.VMEM((7, rows, padded_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((7,)),
+            ],
+            interpret=interpret,
+        )(cr_p, cg_p, cb_p, nx_p, ny_p, nz_p, dd_p)
+    return jnp.stack([cr, cg, cb], axis=-1)

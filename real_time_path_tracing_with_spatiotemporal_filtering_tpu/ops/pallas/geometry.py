@@ -1,0 +1,323 @@
+"""Fused geometry kernel: G-buffer + temporal gradient + backprojection.
+
+In the reference these are two separate passes (visibility raster +
+temporalGradient.comp.glsl) plus per-pixel LUT fetches inside the filter's
+backprojection (temporalFiltering.comp.glsl:213-239). On TPU, per-pixel
+table gathers (``lut[prim]``) cost ~25 ms/frame at 1080p in XLA; this kernel
+eliminates every one of them by computing all triangle-keyed quantities
+while the committed triangle's scalars are still at hand:
+
+    outputs (all (H, W) planes):
+      vis          primID+1 (0 = background)     [visibility.frag.glsl:23]
+      depth        clip.z/clip.w raster depth    [D32 attachment]
+      nx, ny, nz   filter normal, background sentinel (0,0,1)
+                                      [temporalFiltering.comp.glsl:80-91]
+      lam          temporal gradient  [temporalGradient.comp.glsl:104-171]
+      prev_y/x     backprojected previous-frame pixel (int32, clamped)
+                                      [temporalFiltering.comp.glsl:213-239]
+      wx, wy, wz   world position (for API parity / tests)
+
+The temporal accumulate then only needs an image gather + blend, and the
+a-trous filter reads the normal planes directly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+    TILE_H,
+    TILE_W,
+    _nearest_hit_unrolled,
+    pack_triangles,
+)
+
+
+class GeometryBuffers(NamedTuple):
+    visibility: jnp.ndarray   # (H, W) primID+1
+    depth: jnp.ndarray        # (H, W)
+    normal: jnp.ndarray       # (H, W, 3) filter normals
+    lam: jnp.ndarray          # (H, W) temporal gradient
+    prev_y: jnp.ndarray       # (H, W) int32 backprojected row
+    prev_x: jnp.ndarray       # (H, W) int32 backprojected col
+    world_pos: jnp.ndarray    # (H, W, 3)
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _area(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """0.5 |cross(b - a, c - a)| (temporalGradient.comp.glsl:50-55)."""
+    ux, uy, uz = bx - ax, by - ay, bz - az
+    vx, vy, vz = cx - ax, cy - ay, cz - az
+    kx, ky, kz = _cross(ux, uy, uz, vx, vy, vz)
+    return jnp.float32(0.5) * jnp.sqrt(kx * kx + ky * ky + kz * kz)
+
+
+def _phong(px_, py_, pz_, nx, ny, nz, cx, cy, cz, lx, ly, lz, lr, lg, lb):
+    """phongShading (temporalGradient.comp.glsl:71-101), componentwise."""
+    ldx, ldy, ldz = lx - px_, ly - py_, lz - pz_
+    inv = jax.lax.rsqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+    ldx, ldy, ldz = ldx * inv, ldy * inv, ldz * inv
+    diff = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+    vdx, vdy, vdz = cx - px_, cy - py_, cz - pz_
+    inv = jax.lax.rsqrt(vdx * vdx + vdy * vdy + vdz * vdz)
+    vdx, vdy, vdz = vdx * inv, vdy * inv, vdz * inv
+    # reflect(-l, n) = -l + 2*dot(n, l)*n  (GLSL reflect(I,N)=I-2 dot(N,I) N)
+    dln = nx * ldx + ny * ldy + nz * ldz
+    rx = -ldx + 2.0 * dln * nx
+    ry = -ldy + 2.0 * dln * ny
+    rz = -ldz + 2.0 * dln * nz
+    spec_base = jnp.maximum(vdx * rx + vdy * ry + vdz * rz, 0.0)
+    # pow(x, 128) as 7 squarings
+    s = spec_base
+    for _ in range(7):
+        s = s * s
+    amb = jnp.float32(0.1)
+    obj = jnp.float32(0.7)
+    out_r = (amb * lr + diff * lr + jnp.float32(0.5) * s * lr) * obj
+    out_g = (amb * lg + diff * lg + jnp.float32(0.5) * s * lg) * obj
+    out_b = (amb * lb + diff * lb + jnp.float32(0.5) * s * lb) * obj
+    return out_r, out_g, out_b
+
+
+def _geometry_kernel(
+    fparams_ref, iparams_ref, tri_ref, vprev_ref,
+    out_vis, out_depth, out_nx, out_ny, out_nz,
+    out_lam, out_py, out_px, out_wx, out_wy, out_wz,
+    *, cfg, num_tris,
+):
+    cam_x, cam_y, cam_z = fparams_ref[0], fparams_ref[1], fparams_ref[2]
+    row_offset = iparams_ref[0]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    gy = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        + i * TILE_H
+        + row_offset
+    )
+    gx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
+
+    # --- primary center ray (unified tracer camera, SURVEY.md section 7) ---
+    slope = jnp.float32(math.tan(cfg.fov))
+    wf = jnp.float32(cfg.width)
+    hf = jnp.float32(cfg.height)
+    inv_h = jnp.float32(1.0) / hf
+    fx = gx.astype(jnp.float32) + jnp.float32(0.5)
+    fy = gy.astype(jnp.float32) + jnp.float32(0.5)
+    su = (jnp.float32(2.0) * fx - wf) * inv_h
+    sv = -(jnp.float32(2.0) * fy - hf) * inv_h
+    dx = slope * su
+    dy = slope * sv
+    dz = jnp.full_like(dx, -1.0)
+    inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+    ox = jnp.full_like(dx, cam_x)
+    oy = jnp.full_like(dx, cam_y)
+    oz = jnp.full_like(dx, cam_z)
+
+    best_t, hit, (n_ux, n_uy, n_uz), _, vis = _nearest_hit_unrolled(
+        tri_ref, num_tris, ox, oy, oz, dx, dy, dz, cfg, track_prim=True
+    )
+    wx = jnp.where(hit, ox + best_t * dx, 0.0)
+    wy = jnp.where(hit, oy + best_t * dy, 0.0)
+    wz = jnp.where(hit, oz + best_t * dz, 0.0)
+
+    # --- committed-triangle vertex select (replaces lut[prim] gathers) ---
+    def sel_body(t, s):
+        acc = list(s)
+        m = vis == (t + 1).astype(jnp.float32)
+        for c in range(9):
+            # current verts live in cols 21:30 of the merged table
+            acc[c] = jnp.where(m, tri_ref[t, 21 + c], acc[c])
+        for c in range(9):
+            acc[9 + c] = jnp.where(m, vprev_ref[t, c], acc[9 + c])
+        return tuple(acc)
+
+    zero = jnp.zeros_like(wx)
+    verts = jax.lax.fori_loop(0, num_tris, sel_body, (zero,) * 18)
+    (v1x, v1y, v1z, v2x, v2y, v2z, v3x, v3y, v3z,
+     p1x, p1y, p1z, p2x, p2y, p2z, p3x, p3y, p3z) = verts
+
+    # --- raster-equivalent depth (proj @ view rows 2,3 at fparams[3:11]) ---
+    m20, m21, m22, m23 = fparams_ref[3], fparams_ref[4], fparams_ref[5], fparams_ref[6]
+    m30, m31, m32, m33 = fparams_ref[7], fparams_ref[8], fparams_ref[9], fparams_ref[10]
+    cz = m20 * wx + m21 * wy + m22 * wz + m23
+    cw = m30 * wx + m31 * wy + m32 * wz + m33
+    depth = jnp.where(hit, cz / cw, jnp.float32(1.0))
+
+    # --- filter normal with background sentinel (0,0,1) ---
+    nx = jnp.where(hit, n_ux, 0.0)
+    ny = jnp.where(hit, n_uy, 0.0)
+    nz = jnp.where(hit, n_uz, 1.0)
+
+    # --- barycentrics of wp in CURRENT triangle (temporalGradient:134-143) --
+    total = _area(v1x, v1y, v1z, v2x, v2y, v2z, v3x, v3y, v3z)
+    total = jnp.maximum(total, jnp.float32(1e-20))
+    b1 = _area(wx, wy, wz, v2x, v2y, v2z, v3x, v3y, v3z) / total
+    b2 = _area(v1x, v1y, v1z, wx, wy, wz, v3x, v3y, v3z) / total
+    b3 = _area(v1x, v1y, v1z, v2x, v2y, v2z, wx, wy, wz) / total
+
+    # previous-frame world position via PREVIOUS verts (temporalGradient:146-153)
+    qx = b1 * p1x + b2 * p2x + b3 * p3x
+    qy = b1 * p1y + b2 * p2y + b3 * p3y
+    qz = b1 * p1z + b2 * p2z + b3 * p3z
+
+    # --- temporal gradient lambda (current normal both times, quirk kept) --
+    lx, ly, lz = fparams_ref[11], fparams_ref[12], fparams_ref[13]
+    plx, ply, plz = fparams_ref[14], fparams_ref[15], fparams_ref[16]
+    lcr, lcg, lcb = fparams_ref[17], fparams_ref[18], fparams_ref[19]
+    pcr, pcg, pcb = fparams_ref[20], fparams_ref[21], fparams_ref[22]
+    cr_, cg_, cb_ = _phong(wx, wy, wz, nx, ny, nz, cam_x, cam_y, cam_z,
+                           lx, ly, lz, lcr, lcg, lcb)
+    pr_, pg_, pb_ = _phong(qx, qy, qz, nx, ny, nz, cam_x, cam_y, cam_z,
+                           plx, ply, plz, pcr, pcg, pcb)
+    gr, gg, gb_d = cr_ - pr_, cg_ - pg_, cb_ - pb_
+    diff_len = jnp.sqrt(gr * gr + gg * gg + gb_d * gb_d)
+    len_c = jnp.sqrt(cr_ * cr_ + cg_ * cg_ + cb_ * cb_)
+    len_p = jnp.sqrt(pr_ * pr_ + pg_ * pg_ + pb_ * pb_)
+    delta = jnp.maximum(jnp.maximum(len_c, len_p), jnp.float32(1e-20))
+    lam = jnp.minimum(jnp.float32(1.0), diff_len / delta)
+    lam = jnp.where(vis > 0.0, lam, 0.0)
+
+    # --- backprojection quirk: barycentrics against PREVIOUS verts
+    #     (temporalFiltering.comp.glsl:221-229), then worldToPixel ---
+    ptot = _area(p1x, p1y, p1z, p2x, p2y, p2z, p3x, p3y, p3z)
+    ptot = jnp.maximum(ptot, jnp.float32(1e-20))
+    c1 = _area(wx, wy, wz, p2x, p2y, p2z, p3x, p3y, p3z) / ptot
+    c2 = _area(p1x, p1y, p1z, wx, wy, wz, p3x, p3y, p3z) / ptot
+    c3 = _area(p1x, p1y, p1z, p2x, p2y, p2z, wx, wy, wz) / ptot
+    bx_ = c1 * p1x + c2 * p2x + c3 * p3x
+    by_ = c1 * p1y + c2 * p2y + c3 * p3y
+    bz_ = c1 * p1z + c2 * p2z + c3 * p3z
+    # prev proj@view rows 0, 1, 3 (12 scalars at fparams[23:35])
+    a00, a01, a02, a03 = fparams_ref[23], fparams_ref[24], fparams_ref[25], fparams_ref[26]
+    a10, a11, a12, a13 = fparams_ref[27], fparams_ref[28], fparams_ref[29], fparams_ref[30]
+    a30, a31, a32, a33 = fparams_ref[31], fparams_ref[32], fparams_ref[33], fparams_ref[34]
+    ccx = a00 * bx_ + a01 * by_ + a02 * bz_ + a03
+    ccy = a10 * bx_ + a11 * by_ + a12 * bz_ + a13
+    ccw = a30 * bx_ + a31 * by_ + a32 * bz_ + a33
+    sx = (ccx / ccw * jnp.float32(0.5) + jnp.float32(0.5)) * wf
+    sy = (ccy / ccw * jnp.float32(0.5) + jnp.float32(0.5)) * hf
+    ppx = sx.astype(jnp.int32)  # GLSL ivec2 truncation
+    ppy = sy.astype(jnp.int32)
+    background = vis < 1.0
+    ppx = jnp.where(background, gx, ppx)
+    ppy = jnp.where(background, gy, ppy)
+    ppx = jnp.clip(ppx, 0, cfg.width - 1)
+    ppy = jnp.clip(ppy, 0, cfg.height - 1)
+
+    out_vis[:] = vis
+    out_depth[:] = depth
+    out_nx[:] = nx
+    out_ny[:] = ny
+    out_nz[:] = nz
+    out_lam[:] = lam
+    out_py[:] = ppy
+    out_px[:] = ppx
+    out_wx[:] = wx
+    out_wy[:] = wy
+    out_wz[:] = wz
+
+
+def pack_lut_verts(lut: jnp.ndarray) -> jnp.ndarray:
+    """(T+1, 3, 3) visibility LUT -> (T, 9) SMEM vertex table (slot 0
+    dropped; the kernel handles background explicitly)."""
+    return lut[1:].reshape(-1, 9).astype(jnp.float32)
+
+
+def geometry_pass_pallas(
+    tri_data, lut_prev, camera_pos, light_pos, light_pos_prev,
+    light_color, light_color_prev, view, proj, view_prev, proj_prev, cfg,
+    row_offset=0, rows=None, interpret=False, planar=False,
+) -> GeometryBuffers:
+    """Fused G-buffer + gradient + backprojection pass.
+
+    ``planar``: keep normal/world_pos as channel-plane tuples instead of
+    stacked (H, W, 3) arrays (saves two 25 MB copies at 1080p in the frame
+    hot path)."""
+    h = cfg.height if rows is None else rows
+    w = cfg.width
+    tri_table = pack_triangles(tri_data)
+    # current verts appended to the packed table? separate table keeps the
+    # intersection loop's column layout stable:
+    cur_verts = pack_lut_verts(tri_data.lut)
+    prev_verts = pack_lut_verts(lut_prev)
+    num_tris = int(tri_table.shape[0])
+
+    mat = proj @ view
+    mat_prev = proj_prev @ view_prev
+    fparams = jnp.concatenate(
+        [
+            jnp.asarray(camera_pos, jnp.float32).reshape(3),
+            mat[2].reshape(4),
+            mat[3].reshape(4),
+            jnp.asarray(light_pos, jnp.float32).reshape(3),
+            jnp.asarray(light_pos_prev, jnp.float32).reshape(3),
+            jnp.asarray(light_color, jnp.float32).reshape(3),
+            jnp.asarray(light_color_prev, jnp.float32).reshape(3),
+            mat_prev[0].reshape(4),
+            mat_prev[1].reshape(4),
+            mat_prev[3].reshape(4),
+        ]
+    )
+    iparams = jnp.asarray(row_offset, jnp.int32).reshape(1)
+
+    grid = (pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
+    kernel = functools.partial(_geometry_kernel, cfg=cfg, num_tris=num_tris)
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((h, w), f32),        # vis
+        jax.ShapeDtypeStruct((h, w), f32),        # depth
+        jax.ShapeDtypeStruct((h, w), f32),        # nx
+        jax.ShapeDtypeStruct((h, w), f32),        # ny
+        jax.ShapeDtypeStruct((h, w), f32),        # nz
+        jax.ShapeDtypeStruct((h, w), f32),        # lam
+        jax.ShapeDtypeStruct((h, w), jnp.int32),  # prev_y
+        jax.ShapeDtypeStruct((h, w), jnp.int32),  # prev_x
+        jax.ShapeDtypeStruct((h, w), f32),        # wx
+        jax.ShapeDtypeStruct((h, w), f32),        # wy
+        jax.ShapeDtypeStruct((h, w), f32),        # wz
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
+        out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * 11,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(fparams, iparams, _merge_tables(tri_table, cur_verts), prev_verts)
+    vis, depth, nx, ny, nz, lam, prev_y, prev_x, wx, wy, wz = outs
+    if planar:
+        return GeometryBuffers(
+            visibility=vis,
+            depth=depth,
+            normal=(nx, ny, nz),
+            lam=lam,
+            prev_y=prev_y,
+            prev_x=prev_x,
+            world_pos=(wx, wy, wz),
+        )
+    return GeometryBuffers(
+        visibility=vis,
+        depth=depth,
+        normal=jnp.stack([nx, ny, nz], axis=-1),
+        lam=lam,
+        prev_y=prev_y,
+        prev_x=prev_x,
+        world_pos=jnp.stack([wx, wy, wz], axis=-1),
+    )
+
+
+def _merge_tables(tri_table, cur_verts):
+    """Packed 21-col intersection table + 9-col vertex table -> 30 cols."""
+    return jnp.concatenate([tri_table, cur_verts], axis=1)

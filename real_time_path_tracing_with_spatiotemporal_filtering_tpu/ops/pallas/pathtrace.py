@@ -1,0 +1,494 @@
+"""Pallas path-trace megakernel.
+
+The TPU answer to the reference's VK_KHR_ray_query megakernel
+(raytrace.comp.glsl:200-344): one fused kernel per pixel tile that runs the
+whole <=32-segment bounce loop with stream state (origins, directions,
+throughput, PCG RNG) held in vector registers, the triangle tables (plane
+constants, normals, albedos -- 21 scalars/triangle) in SMEM, and a
+``while_loop`` that exits a tile as soon as all its lanes' paths terminate.
+HBM traffic is exactly one radiance write per pixel; everything the XLA
+formulation spilled as (N, T) tables stays on-chip.
+
+Pixels map to vector lanes: a tile of (TILE_H, TILE_W) pixels is a stack of
+(8, 128) vregs, the triangle loop is unrolled with per-triangle scalars, so
+every VPU op advances the whole tile at once. Numerics match the XLA path
+op-for-op (same PCG streams, same termination rules, same reference quirks)
+except the committed hit position, computed as o + t*d instead of the
+barycentric recombination (raytrace.comp.glsl:137) -- a ~1e-6 difference
+bounded by the ray-offset epsilon.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tile shape: lanes are pixels. Empirically tuned at 1080p on v5e:
+# 8x512 beat 8x128/8x256/16x256/16x512 (per-program overhead vs the
+# early-exit granularity of the bounce while_loop -- sky tiles leave after
+# one segment).
+TILE_H = 8
+TILE_W = 512
+
+import numpy as np
+
+_U = jnp.uint32
+# numpy scalars (NOT jnp arrays): concrete jax Arrays at module scope would
+# be closure-captured by the kernel, which pallas_call rejects.
+_INV_U32_MAX = np.float32(1.0 / 4294967295.0)
+_TWO_PI = np.float32(2.0 * 3.14159265)
+
+# tri table columns: v0(0:3) n(3:6) d0(6) n1(7:10) d1(10) n2(11:14) d2(14)
+# albedo(15:18) unit normal(18:21)
+TRI_COLS = 21
+
+
+def pack_triangles(tri_data) -> jnp.ndarray:
+    """Flatten TriangleData into the (T, 21) SMEM scalar table."""
+    p = tri_data.planes
+    return jnp.concatenate(
+        [
+            p.v0,
+            p.n,
+            p.d0[:, None],
+            p.n1,
+            p.d1[:, None],
+            p.n2,
+            p.d2[:, None],
+            tri_data.albedo,
+            tri_data.normals,
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def _u2f(word):
+    """uint32 -> float32 value conversion, Mosaic-safe.
+
+    Mosaic has no unsigned->float cast; go through the signed view and add
+    2^32 back for the wrapped half. At most 1 ulp from the direct
+    conversion (the XLA path), immaterial for sampling."""
+    signed = pltpu.bitcast(word, jnp.int32)
+    f = signed.astype(jnp.float32)
+    return jnp.where(signed < 0, f + np.float32(4294967296.0), f)
+
+
+def _pcg(state):
+    state = state * _U(747796405) + _U(1)
+    word = ((state >> ((state >> _U(28)) + _U(4))) ^ state) * _U(277803737)
+    word = (word >> _U(22)) ^ word
+    return state, _u2f(word) * _INV_U32_MAX
+
+
+def _nearest_hit_unrolled(
+    tri_ref, num_tris, ox, oy, oz, dx, dy, dz, cfg, track_prim=False
+):
+    """Closest-hit over all triangles via a fori_loop with dynamic SMEM
+    scalar reads per triangle; tests are whole-tile VPU ops. (A fully
+    unrolled triangle loop produced minute-scale Mosaic compiles; the rolled
+    loop body is ~T times smaller with identical numerics -- first-minimal
+    tie-breaking preserved.) ``track_prim`` also returns the committed
+    primID+1 as float (0 = miss), for the G-buffer."""
+    eps = jnp.float32(cfg.intersect_eps)
+    t_max = jnp.float32(cfg.t_max)
+    big = t_max * jnp.float32(2.0)
+
+    def tri_body(t, s):
+        # hit carried as int32: Mosaic cannot legalize i1 vectors in
+        # scf.for/scf.while carries.
+        best_t, hit_i, bnx, bny, bnz, bar, bag, bab, vis = s
+        v0x, v0y, v0z = tri_ref[t, 0], tri_ref[t, 1], tri_ref[t, 2]
+        nx, ny, nz = tri_ref[t, 3], tri_ref[t, 4], tri_ref[t, 5]
+        d0 = tri_ref[t, 6]
+        n1x, n1y, n1z, d1 = tri_ref[t, 7], tri_ref[t, 8], tri_ref[t, 9], tri_ref[t, 10]
+        n2x, n2y, n2z, d2 = tri_ref[t, 11], tri_ref[t, 12], tri_ref[t, 13], tri_ref[t, 14]
+
+        nd = dx * nx + dy * ny + dz * nz
+        no = ox * nx + oy * ny + oz * nz
+        # No epsilon guard: nd == 0 gives inf/nan t, and every comparison
+        # with nan below is false, so parallel rays reject themselves
+        # (IEEE semantics replace the XLA path's explicit eps test).
+        t_hit = (d0 - no) / nd
+        u = (n1x * ox + n1y * oy + n1z * oz) + t_hit * (
+            n1x * dx + n1y * dy + n1z * dz
+        ) + d1
+        v = (n2x * ox + n2y * oy + n2z * oz) + t_hit * (
+            n2x * dx + n2y * dy + n2z * dz
+        ) + d2
+        valid = (
+            (jnp.minimum(u, v) >= 0.0)
+            & (u + v <= 1.0)
+            & (t_hit > 0.0)
+        )
+        if cfg.t_max < 1e4:  # Cornell-class scenes never reach t_max
+            valid = valid & (t_hit <= t_max)
+        # t < best_t is nan-safe (nan compares false)
+        closer = valid & (t_hit < best_t)
+        best_t = jnp.where(closer, t_hit, best_t)
+        hit_i = hit_i | closer.astype(jnp.int32)
+        if track_prim:
+            vis = jnp.where(closer, (t + 1).astype(jnp.float32), vis)
+        bnx = jnp.where(closer, tri_ref[t, 18], bnx)
+        bny = jnp.where(closer, tri_ref[t, 19], bny)
+        bnz = jnp.where(closer, tri_ref[t, 20], bnz)
+        bar = jnp.where(closer, tri_ref[t, 15], bar)
+        bag = jnp.where(closer, tri_ref[t, 16], bag)
+        bab = jnp.where(closer, tri_ref[t, 17], bab)
+        return best_t, hit_i, bnx, bny, bnz, bar, bag, bab, vis
+
+    zero = jnp.zeros_like(ox)
+    init = (
+        jnp.full_like(ox, big),
+        jnp.zeros_like(ox, dtype=jnp.int32),
+        zero, zero, zero, zero, zero, zero, zero,
+    )
+    best_t, hit_i, bnx, bny, bnz, bar, bag, bab, vis = jax.lax.fori_loop(
+        0, num_tris, tri_body, init
+    )
+    hit = hit_i != 0
+    if track_prim:
+        return best_t, hit, (bnx, bny, bnz), (bar, bag, bab), vis
+    return best_t, hit, (bnx, bny, bnz), (bar, bag, bab)
+
+
+def _sky(dx, dy, dz):
+    up_r = (1.0 - dy) * 1.0 + dy * 0.25
+    up_g = (1.0 - dy) * 1.0 + dy * 0.5
+    up_b = (1.0 - dy) * 1.0 + dy * 1.0
+    above = dy > 0.0
+    dim = jnp.float32(0.03)
+    return (
+        jnp.where(above, up_r, dim),
+        jnp.where(above, up_g, dim),
+        jnp.where(above, up_b, dim),
+    )
+
+
+def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, out_r, out_g, out_b, *, cfg, num_tris):
+    cam_x, cam_y, cam_z = fparams_ref[0], fparams_ref[1], fparams_ref[2]
+    lx, ly, lz = fparams_ref[3], fparams_ref[4], fparams_ref[5]
+    hdr_r, hdr_g, hdr_b = fparams_ref[6], fparams_ref[7], fparams_ref[8]
+    radius = fparams_ref[9]
+    row_offset = iparams_ref[0]
+    # frame * 374761393 (uint32, precomputed host-side: Mosaic cannot
+    # bitcast scalars in SMEM)
+    frame_term = uparams_ref[0]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        + i * TILE_H
+        + row_offset
+    )
+    px = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
+
+    slope = jnp.float32(math.tan(cfg.fov))
+    wf = jnp.float32(cfg.width)
+    hf = jnp.float32(cfg.height)
+    inv_h = jnp.float32(1.0) / hf
+    eps_off = jnp.float32(cfg.ray_offset_eps)
+    inv_first_dim = jnp.float32(1.0 / cfg.first_hit_light_dim)
+
+    acc_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    acc_g = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    acc_b = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    for batch in range(cfg.sample_batches):
+        seed = (
+            pltpu.bitcast(px, jnp.uint32) * _U(3266489917)
+            + pltpu.bitcast(py, jnp.uint32) * _U(668265263)
+        ) ^ frame_term ^ (_U(batch) * _U(2654435761))
+        state = seed
+        for _sample in range(cfg.spp):
+            # --- AA jitter (raytrace.comp.glsl:84-92, 314) ---
+            state, u1 = _pcg(state)
+            state, u2 = _pcg(state)
+            u1 = jnp.maximum(jnp.float32(1e-38), u1)
+            r_g = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+            theta_g = _TWO_PI * u2
+            jx = jnp.float32(cfg.aa_sigma) * r_g * jnp.cos(theta_g)
+            jy = jnp.float32(cfg.aa_sigma) * r_g * jnp.sin(theta_g)
+
+            fx = px.astype(jnp.float32) + jnp.float32(0.5) + jx
+            fy = py.astype(jnp.float32) + jnp.float32(0.5) + jy
+            su = (jnp.float32(2.0) * fx - wf) * inv_h
+            sv = -(jnp.float32(2.0) * fy - hf) * inv_h
+            ddx = slope * su
+            ddy = slope * sv
+            ddz = jnp.full_like(ddx, -1.0)
+            inv_n = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            ddx, ddy, ddz = ddx * inv_n, ddy * inv_n, ddz * inv_n
+
+            ox = jnp.full_like(ddx, cam_x)
+            oy = jnp.full_like(ddx, cam_y)
+            oz = jnp.full_like(ddx, cam_z)
+            tp_r = jnp.ones_like(ddx)  # throughput (accumulatedRayColor)
+            tp_g = jnp.ones_like(ddx)
+            tp_b = jnp.ones_like(ddx)
+            res_r = jnp.zeros_like(ddx)
+            res_g = jnp.zeros_like(ddx)
+            res_b = jnp.zeros_like(ddx)
+            # Mosaic cannot carry i1 vectors through scf.while: keep the
+            # alive mask as int32 in the carry and rebool inside the body.
+            alive_i = jnp.ones_like(ddx, dtype=jnp.int32)
+
+            def cond(c):
+                seg = c[0]
+                alive_c = c[13]
+                return (seg < cfg.max_bounces) & (jnp.max(alive_c) > 0)
+
+            def body(c):
+                (seg, ox, oy, oz, dx, dy, dz,
+                 tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_c, st) = c
+                alive = alive_c != 0
+
+                best_t, hit, (bnx, bny, bnz), (bar, bag, bab) = (
+                    _nearest_hit_unrolled(
+                        tri_ref, num_tris, ox, oy, oz, dx, dy, dz, cfg
+                    )
+                )
+
+                # --- sphere light, checked first (raytrace:226-235) ---
+                ocx, ocy, ocz = ox - lx, oy - ly, oz - lz
+                a = dx * dx + dy * dy + dz * dz
+                b = jnp.float32(2.0) * (ocx * dx + ocy * dy + ocz * dz)
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+                disc = b * b - jnp.float32(4.0) * a * cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = (-b - sq) / (jnp.float32(2.0) * a)
+                t2 = (-b + sq) / (jnp.float32(2.0) * a)
+                lt = jnp.where(t1 > 0.0, t1, t2)
+                light_hit = (disc >= 0.0) & (lt > 0.0)
+                if not cfg.light_through_walls:
+                    light_hit = light_hit & (~hit | (lt < best_t))
+
+                dim = jnp.where(seg == 0, inv_first_dim, jnp.float32(1.0))
+                light_term = alive & light_hit
+                res_r = jnp.where(light_term, tp_r * hdr_r * dim, res_r)
+                res_g = jnp.where(light_term, tp_g * hdr_g * dim, res_g)
+                res_b = jnp.where(light_term, tp_b * hdr_b * dim, res_b)
+
+                # --- triangle bounce ---
+                tri_hit = alive & ~light_hit & hit
+                tp_r = jnp.where(tri_hit, tp_r * bar, tp_r)
+                tp_g = jnp.where(tri_hit, tp_g * bag, tp_g)
+                tp_b = jnp.where(tri_hit, tp_b * bab, tp_b)
+                # faceforward: flip unless facing against the ray
+                flip = (dx * bnx + dy * bny + dz * bnz) >= 0.0
+                fnx = jnp.where(flip, -bnx, bnx)
+                fny = jnp.where(flip, -bny, bny)
+                fnz = jnp.where(flip, -bnz, bnz)
+                hx = ox + best_t * dx + eps_off * fnx
+                hy = oy + best_t * dy + eps_off * fny
+                hz = oz + best_t * dz + eps_off * fnz
+
+                new_st, ra = _pcg(st)
+                new_st, rb = _pcg(new_st)
+                theta = _TWO_PI * ra
+                uu = jnp.float32(2.0) * rb - jnp.float32(1.0)
+                rr = jnp.sqrt(jnp.maximum(jnp.float32(0.0), 1.0 - uu * uu))
+                ndx = fnx + rr * jnp.cos(theta)
+                ndy = fny + rr * jnp.sin(theta)
+                ndz = fnz + uu
+                inv = jax.lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+                ndx, ndy, ndz = ndx * inv, ndy * inv, ndz * inv
+
+                ox = jnp.where(tri_hit, hx, ox)
+                oy = jnp.where(tri_hit, hy, oy)
+                oz = jnp.where(tri_hit, hz, oz)
+                # sky uses the PRE-bounce direction for terminated lanes
+                sky_term = alive & ~light_hit & ~hit
+                skr, skg, skb = _sky(dx, dy, dz)
+                res_r = jnp.where(sky_term, tp_r * skr, res_r)
+                res_g = jnp.where(sky_term, tp_g * skg, res_g)
+                res_b = jnp.where(sky_term, tp_b * skb, res_b)
+                dx = jnp.where(tri_hit, ndx, dx)
+                dy = jnp.where(tri_hit, ndy, dy)
+                dz = jnp.where(tri_hit, ndz, dz)
+                st = jnp.where(tri_hit, new_st, st)
+
+                return (seg + 1, ox, oy, oz, dx, dy, dz,
+                        tp_r, tp_g, tp_b, res_r, res_g, res_b,
+                        tri_hit.astype(jnp.int32), st)
+
+            init = (jnp.int32(0), ox, oy, oz, ddx, ddy, ddz,
+                    tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_i, state)
+            final = jax.lax.while_loop(cond, body, init)
+            (_, _, _, _, _, _, _,
+             tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_i, _) = final
+            # fall-through: surviving paths keep bare throughput (raytrace:270)
+            survived = alive_i != 0
+            res_r = jnp.where(survived, tp_r, res_r)
+            res_g = jnp.where(survived, tp_g, res_g)
+            res_b = jnp.where(survived, tp_b, res_b)
+            acc_r = acc_r + res_r
+            acc_g = acc_g + res_g
+            acc_b = acc_b + res_b
+
+    norm = jnp.float32(1.0 / (cfg.spp * cfg.sample_batches))
+    out_r[:] = acc_r * norm
+    out_g[:] = acc_g * norm
+    out_b[:] = acc_b * norm
+
+
+def _gbuffer_kernel(
+    fparams_ref, iparams_ref, tri_ref,
+    out_vis, out_depth, out_wx, out_wy, out_wz, *, cfg, num_tris,
+):
+    """Primary-ray visibility kernel: one center-ray intersection per pixel,
+    emitting primID+1, raster-equivalent NDC depth (via the proj@view matrix
+    in fparams[3:19]), and the hit world position as three planes."""
+    cam_x, cam_y, cam_z = fparams_ref[0], fparams_ref[1], fparams_ref[2]
+    row_offset = iparams_ref[0]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        + i * TILE_H
+        + row_offset
+    )
+    px = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
+
+    slope = jnp.float32(math.tan(cfg.fov))
+    wf = jnp.float32(cfg.width)
+    hf = jnp.float32(cfg.height)
+    inv_h = jnp.float32(1.0) / hf
+
+    fx = px.astype(jnp.float32) + jnp.float32(0.5)
+    fy = py.astype(jnp.float32) + jnp.float32(0.5)
+    su = (jnp.float32(2.0) * fx - wf) * inv_h
+    sv = -(jnp.float32(2.0) * fy - hf) * inv_h
+    dx = slope * su
+    dy = slope * sv
+    dz = jnp.full_like(dx, -1.0)
+    inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+    ox = jnp.full_like(dx, cam_x)
+    oy = jnp.full_like(dx, cam_y)
+    oz = jnp.full_like(dx, cam_z)
+
+    best_t, hit, _, _, vis = _nearest_hit_unrolled(
+        tri_ref, num_tris, ox, oy, oz, dx, dy, dz, cfg, track_prim=True
+    )
+    wx = jnp.where(hit, ox + best_t * dx, 0.0)
+    wy = jnp.where(hit, oy + best_t * dy, 0.0)
+    wz = jnp.where(hit, oz + best_t * dz, 0.0)
+
+    # clip.z / clip.w with mat = proj @ view (rows 2 and 3 packed at 3:11)
+    m20, m21, m22, m23 = fparams_ref[3], fparams_ref[4], fparams_ref[5], fparams_ref[6]
+    m30, m31, m32, m33 = fparams_ref[7], fparams_ref[8], fparams_ref[9], fparams_ref[10]
+    cz = m20 * wx + m21 * wy + m22 * wz + m23
+    cw = m30 * wx + m31 * wy + m32 * wz + m33
+    depth = jnp.where(hit, cz / cw, jnp.float32(1.0))
+
+    out_vis[:] = vis
+    out_depth[:] = depth
+    out_wx[:] = wx
+    out_wy[:] = wy
+    out_wz[:] = wz
+
+
+def visibility_pass_pallas(
+    tri_data, camera_pos, view, proj, cfg,
+    row_offset=0, rows=None, interpret=False,
+):
+    """Pallas drop-in for ops.gbuffer.visibility_pass (same outputs).
+
+    Hit positions are o + t*d rather than the barycentric recombination
+    (difference ~1e-6, see module docstring)."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.gbuffer import (
+        GBuffer,
+    )
+
+    h = cfg.height if rows is None else rows
+    w = cfg.width
+    tri_table = pack_triangles(tri_data)
+    num_tris = int(tri_table.shape[0])
+
+    mat = proj @ view
+    fparams = jnp.concatenate(
+        [
+            jnp.asarray(camera_pos, jnp.float32).reshape(3),
+            mat[2].reshape(4),
+            mat[3].reshape(4),
+        ]
+    )
+    iparams = jnp.asarray(row_offset, jnp.int32).reshape(1)
+
+    grid = (pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
+    kernel = functools.partial(_gbuffer_kernel, cfg=cfg, num_tris=num_tris)
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 5
+    vis, depth, wx, wy, wz = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
+        ] * 5,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(fparams, iparams, tri_table)
+    return GBuffer(
+        visibility=vis,
+        world_pos=jnp.stack([wx, wy, wz], axis=-1),
+        depth=depth,
+    )
+
+
+def path_trace_pass_pallas(
+    tri_data, camera_pos, light, frame_idx, cfg,
+    row_offset=0, rows=None, interpret=False, planar=False,
+):
+    """Pallas drop-in for ops.pathtrace.path_trace_pass (same signature +
+    semantics). Returns (rows, W, 3) radiance, or the three (rows, W)
+    channel planes when ``planar`` (saves a 25 MB stack copy at 1080p)."""
+    h = cfg.height if rows is None else rows
+    w = cfg.width
+    tri_table = pack_triangles(tri_data)
+    num_tris = int(tri_table.shape[0])
+
+    fparams = jnp.concatenate(
+        [
+            jnp.asarray(camera_pos, jnp.float32).reshape(3),
+            jnp.asarray(light.position, jnp.float32).reshape(3),
+            (jnp.asarray(light.color, jnp.float32) * cfg.light_intensity).reshape(3),
+            jnp.array([cfg.light_radius], jnp.float32),
+        ]
+    )
+    iparams = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    uparams = (
+        jnp.asarray(frame_idx, jnp.int32).astype(jnp.uint32) * jnp.uint32(374761393)
+    ).reshape(1)
+
+    grid = (pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
+    kernel = functools.partial(_trace_kernel, cfg=cfg, num_tris=num_tris)
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
+        ] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(fparams, iparams, uparams, tri_table)
+    if planar:
+        return r, g, b
+    return jnp.stack([r, g, b], axis=-1)

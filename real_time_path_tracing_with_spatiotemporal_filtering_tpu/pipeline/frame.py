@@ -47,6 +47,14 @@ def camera_matrices(camera_pos, cfg: RenderConfig):
     return view, proj
 
 
+def _use_pallas(cfg: RenderConfig) -> bool:
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def render_frame_impl(
     tri_data: TriangleData,
     camera: Camera,
@@ -57,8 +65,13 @@ def render_frame_impl(
     """One frame: (triangle tables, camera, light, history) -> (rgb, history').
 
     Pass order matches drawScene (main.cpp:1104-1110). Returns the final
-    denoised image and the next frame's history.
+    denoised image and the next frame's history. On TPU (cfg.backend) the
+    G-buffer/gradient/backprojection run as one fused Pallas kernel and the
+    path tracer as a Pallas megakernel; numerics match the XLA formulation
+    (tests/test_pallas.py).
     """
+    if _use_pallas(cfg):
+        return _render_frame_pallas(tri_data, camera, light, history, cfg)
     frame_idx = history.frame
     view, proj = camera_matrices(camera.position, cfg)
 
@@ -103,6 +116,49 @@ def render_frame_impl(
         image=rgb,
         visibility=gbuf.visibility,
         lut=lut,
+        view=view,
+        proj=proj,
+        light_pos=light.position,
+        light_color=light.color,
+        frame=frame_idx + 1,
+    )
+    return rgb, new_history
+
+
+def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
+    """Pallas-kernel frame: fused geometry pass + path-trace megakernel;
+    filter and EMA blend in XLA (the gathers they needed are precomputed
+    by the geometry kernel)."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+        atrous as atrous_pl,
+        geometry as geo_mod,
+        pathtrace as pt_mod,
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    frame_idx = history.frame
+    view, proj = camera_matrices(camera.position, cfg)
+
+    geo = geo_mod.geometry_pass_pallas(
+        tri_data, history.lut, camera.position,
+        light.position, history.light_pos, light.color, history.light_color,
+        view, proj, history.view, history.proj, cfg,
+        interpret=interpret, planar=True,
+    )
+    noisy = pt_mod.path_trace_pass_pallas(
+        tri_data, camera.position, light, frame_idx, cfg,
+        interpret=interpret, planar=True,
+    )
+    filtered = atrous_pl.atrous_filter_pallas(
+        noisy, geo.normal, geo.depth, cfg, interpret=interpret
+    )
+    rgb = atrous.temporal_accumulate_at(
+        filtered, history.image, geo.prev_y, geo.prev_x, frame_idx, geo.lam, cfg
+    )
+    new_history = History(
+        image=rgb,
+        visibility=geo.visibility,
+        lut=tri_data.lut,
         view=view,
         proj=proj,
         light_pos=light.position,

@@ -1,0 +1,137 @@
+"""Pallas kernels vs the XLA reference formulation (interpret mode on CPU)."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.config import (
+    RenderConfig,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+    atrous,
+    gbuffer,
+    gradient,
+    pathtrace,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.geometry import (
+    geometry_pass_pallas,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+    path_trace_pass_pallas,
+    visibility_pass_pallas,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline import (
+    frame as frame_mod,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+    Camera,
+    Light,
+)
+
+CFG = RenderConfig(width=64, height=48, max_bounces=8)
+
+
+def test_pathtrace_kernel_matches_xla(cornell_tri_data):
+    cam, light = Camera.default(), Light.default()
+    ref = np.asarray(
+        pathtrace.path_trace_pass(
+            cornell_tri_data, cam.position, light, jnp.int32(2), CFG
+        )
+    )
+    pal = np.asarray(
+        path_trace_pass_pallas(
+            cornell_tri_data, cam.position, light, jnp.int32(2), CFG,
+            interpret=True,
+        )
+    )
+    # identical RNG streams; only the hit-position formulation differs
+    # (o + t*d vs barycentric recombination, ~1e-6)
+    assert np.abs(ref - pal).max() < 1e-4
+
+
+def test_visibility_kernel_matches_xla(cornell_tri_data):
+    cam = Camera.default()
+    view, proj = frame_mod.camera_matrices(cam.position, CFG)
+    ref = gbuffer.visibility_pass(cornell_tri_data, cam.position, view, proj, CFG)
+    pal = visibility_pass_pallas(
+        cornell_tri_data, cam.position, view, proj, CFG, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.visibility), np.asarray(pal.visibility)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.depth), np.asarray(pal.depth), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.world_pos), np.asarray(pal.world_pos), atol=1e-4
+    )
+
+
+def test_geometry_kernel_matches_xla_passes(cornell_tri_data):
+    cam, light = Camera.default(), Light.default()
+    light_prev_pos = light.position + jnp.array([0.5, 0.0, 0.0])
+    view, proj = frame_mod.camera_matrices(cam.position, CFG)
+    view_prev, proj_prev = frame_mod.camera_matrices(
+        cam.position + jnp.array([0.0, 0.0, 0.5]), CFG
+    )
+    lut_prev = cornell_tri_data.lut  # static geometry
+
+    geo = geometry_pass_pallas(
+        cornell_tri_data, lut_prev, cam.position,
+        light.position, light_prev_pos, light.color, light.color * 0.5,
+        view, proj, view_prev, proj_prev, CFG, interpret=True,
+    )
+
+    ref_g = gbuffer.visibility_pass(cornell_tri_data, cam.position, view, proj, CFG)
+    np.testing.assert_array_equal(
+        np.asarray(geo.visibility), np.asarray(ref_g.visibility)
+    )
+    np.testing.assert_allclose(
+        np.asarray(geo.depth), np.asarray(ref_g.depth), atol=1e-5
+    )
+
+    # normals: slot-0 sentinel + per-tri unit normals
+    prim = np.asarray(ref_g.visibility).astype(np.int32)
+    ref_n = np.asarray(cornell_tri_data.lut_normals)[prim]
+    np.testing.assert_allclose(np.asarray(geo.normal), ref_n, atol=1e-5)
+
+    ref_lam = gradient.temporal_gradient_pass(
+        ref_g, cornell_tri_data.lut, lut_prev, cam.position,
+        light.position, light_prev_pos, light.color, light.color * 0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(geo.lam), np.asarray(ref_lam), atol=2e-4
+    )
+
+    ref_py, ref_px = atrous.backproject_pixels(
+        ref_g, lut_prev, view_prev, proj_prev, CFG
+    )
+    # truncation can differ by 1 pixel where the float coordinate sits on
+    # an integer boundary (hit-position epsilon); allow that on <1% of pixels
+    dy = np.abs(np.asarray(geo.prev_y) - np.asarray(ref_py))
+    dx = np.abs(np.asarray(geo.prev_x) - np.asarray(ref_px))
+    assert (dy > 0).mean() < 0.01 and dy.max() <= 1
+    assert (dx > 0).mean() < 0.01 and dx.max() <= 1
+
+
+def test_pallas_frame_matches_xla_frame(cornell_tri_data):
+    cfg_x = dataclasses.replace(CFG, backend="xla")
+    cfg_p = dataclasses.replace(CFG, backend="pallas")
+    cam, light = Camera.default(), Light.default()
+
+    hist_x = frame_mod.init_history(cornell_tri_data, cfg_x)
+    hist_p = frame_mod.init_history(cornell_tri_data, cfg_p)
+    for i in range(3):
+        # move light so the gradient/backprojection paths are nontrivial
+        light = dataclasses.replace(
+            light, position=light.position + jnp.array([0.1, 0.0, 0.0])
+        )
+        rgb_x, hist_x = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_x, cfg_x
+        )
+        rgb_p, hist_p = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_p, cfg_p
+        )
+    diff = np.abs(np.asarray(rgb_x) - np.asarray(rgb_p))
+    assert diff.max() < 1e-3
