@@ -1,0 +1,99 @@
+"""Input controller key semantics + utility coverage."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.config import (
+    RenderConfig,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.input import (
+    apply_keys,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+    Camera,
+    Light,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.utils.image import (
+    rmse,
+    tonemap,
+    write_png,
+)
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.utils.profiling import (
+    FrameTimer,
+    time_fn,
+)
+
+CFG = RenderConfig()
+
+
+def test_camera_keys():
+    cam, light = Camera.default(), Light.default()
+    start = np.asarray(cam.position)
+    cam2, _, moved = apply_keys(cam, light, {"w"}, CFG)
+    assert moved
+    np.testing.assert_allclose(
+        np.asarray(cam2.position), start + [0, 0, -CFG.move_speed], atol=1e-6
+    )
+    cam3, _, _ = apply_keys(cam, light, {"d", "e", "s"}, CFG)
+    np.testing.assert_allclose(
+        np.asarray(cam3.position),
+        start + [CFG.move_speed, CFG.move_speed, CFG.move_speed],
+        atol=1e-6,
+    )
+    _, _, moved = apply_keys(cam, light, {"i"}, CFG)
+    assert not moved  # light keys don't set cameraMoved
+
+
+def test_opposing_keys_cancel():
+    cam, light = Camera.default(), Light.default()
+    cam2, light2, moved = apply_keys(cam, light, {"a", "d", "w", "s"}, CFG)
+    assert not moved
+    np.testing.assert_array_equal(
+        np.asarray(cam2.position), np.asarray(cam.position)
+    )
+
+
+def test_light_keys_and_wrap():
+    cam, light = Camera.default(), Light.default()
+    _, light2, _ = apply_keys(cam, light, {"l"}, CFG)
+    assert float(light2.position[0]) > float(light.position[0])
+
+    # push past +2: wraps to -20 (main.cpp:1151-1153)
+    import dataclasses
+
+    near_edge = dataclasses.replace(
+        light, position=jnp.array([1.95, 1.0, -0.4], jnp.float32)
+    )
+    _, wrapped, _ = apply_keys(cam, near_edge, {"l"}, CFG)
+    assert float(wrapped.position[0]) == CFG.light_x_wrap_lo
+
+    near_lo = dataclasses.replace(
+        light, position=jnp.array([-19.95, 1.0, -0.4], jnp.float32)
+    )
+    _, wrapped2, _ = apply_keys(cam, near_lo, {"j"}, CFG)
+    assert float(wrapped2.position[0]) == CFG.light_x_wrap_hi
+
+
+def test_image_utils(tmp_path):
+    img = np.random.default_rng(0).uniform(-0.5, 2.0, (8, 10, 3)).astype(np.float32)
+    t = tonemap(img)
+    assert t.dtype == np.uint8 and t.min() >= 0
+    path = str(tmp_path / "x.png")
+    write_png(path, img)
+    with open(path, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    assert rmse(img, img) == 0.0
+    assert rmse(np.zeros(4), np.ones(4)) == 1.0
+
+
+def test_time_fn_and_timer():
+    import jax
+
+    f = jax.jit(lambda x: x * 2.0)
+    ms = time_fn(f, jnp.ones(128), iters=3, warmup=1)
+    assert ms >= 0.0
+    timer = FrameTimer(window=4)
+    timer.tick()
+    timer.tick()
+    assert timer.ms_per_frame >= 0.0
+    assert timer.fps > 0.0
