@@ -1,0 +1,128 @@
+"""Benchmark suite: the five tracked configs from BASELINE.md.
+
+Run: python -m benchmarks.suite [--quick]
+Prints one JSON line per config plus a human-readable table on stderr.
+
+Configs (BASELINE.json "configs"):
+  1. Cornell, static camera, 1spp 512x512, spatial a-trous only
+  2. Cornell, static camera, full SVGF (temporal + a-trous), no gradients
+  3. Cornell, orbiting camera, full A-SVGF w/ adaptive alpha, 1080p 1spp
+  4. Large-scene stress (subdivided Cornell; LBVH-scale traversal)
+  5. Dynamic light + disocclusion cuts (gradient-driven rejection, 4spp)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    np.asarray(x[0, 0])
+
+
+def bench_renderer(make_renderer, frames, mutate=None):
+    import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf  # noqa: F401
+
+    r = make_renderer()
+    _sync(r.step())  # compile + warm
+    _sync(r.step())
+    t0 = time.perf_counter()
+    rgb = None
+    for i in range(frames):
+        if mutate is not None:
+            mutate(r, i)
+        rgb = r.step()
+    _sync(rgb)
+    return (time.perf_counter() - t0) / frames * 1000.0
+
+
+def run_suite(quick: bool):
+    import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+
+    frames = 5 if quick else 20
+    scene = ptsf.Scene.cornell_box()
+    results = []
+
+    def cornell(cfg):
+        return lambda: ptsf.Renderer(scene, cfg)
+
+    # 1. spatial-only 512x512 (temporal alpha 1.0 = no history blend)
+    cfg1 = ptsf.RenderConfig(width=512, height=512, ema_alpha=1.0)
+    results.append(("cornell_512_spatial_only", bench_renderer(cornell(cfg1), frames)))
+
+    # 2. full SVGF 512x512 (temporal EMA on, gradients computed but unused)
+    cfg2 = ptsf.RenderConfig(width=512, height=512)
+    results.append(("cornell_512_full_svgf", bench_renderer(cornell(cfg2), frames)))
+
+    # 3. orbiting camera, full A-SVGF with adaptive alpha, 1080p
+    cfg3 = ptsf.RenderConfig(width=1920, height=1080, adaptive_alpha=True)
+
+    def orbit(r, i):
+        r.move_camera(dx=0.05 if i % 2 == 0 else -0.05, dz=-0.02)
+
+    results.append(
+        ("cornell_1080p_asvgf_orbit", bench_renderer(cornell(cfg3), frames, orbit))
+    )
+
+    # 4. large-scene stress: subdivided Cornell (identical image, more tris)
+    splits = 2 if quick else 4  # 128 or 512 triangles
+    big_scene = ptsf.Scene.from_arrays(*procedural.subdivided_cornell(splits))
+    cfg4 = ptsf.RenderConfig(width=1920, height=1080)
+    results.append(
+        (
+            f"cornell_subdiv{splits}_{32 * splits * splits}tris_1080p",
+            bench_renderer(lambda: ptsf.Renderer(big_scene, cfg4), frames),
+        )
+    )
+
+    # 5. dynamic light + camera cuts, 4spp, gradient-driven rejection
+    cfg5 = ptsf.RenderConfig(
+        width=512, height=512, spp=4, adaptive_alpha=True
+    )
+
+    def light_cuts(r, i):
+        r.move_light(dx=0.3)
+        if i % 7 == 6:
+            r.move_camera(dx=0.8 if (i // 7) % 2 == 0 else -0.8)
+
+    results.append(
+        ("cornell_512_4spp_dynamic_light_cuts", bench_renderer(cornell(cfg5), frames, light_cuts))
+    )
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    results = run_suite(args.quick)
+    for name, ms in results:
+        print(
+            json.dumps(
+                {
+                    "metric": f"ms/frame, {name}, single {platform} chip",
+                    "value": round(ms, 3),
+                    "unit": "ms/frame",
+                }
+            )
+        )
+    print("\nconfig                                   ms/frame", file=sys.stderr)
+    for name, ms in results:
+        print(f"{name:42s} {ms:8.2f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ import dataclasses
 from typing import Iterable
 
 import jax.numpy as jnp
+import numpy as np
 
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.config import (
     RenderConfig,
@@ -38,29 +39,26 @@ def apply_keys(
     keys = {k.lower() for k in keys}
     speed = cfg.move_speed
 
+    # Host-side numpy arithmetic only (tiny jnp ops would pay one device
+    # dispatch round trip per key per frame over the TPU tunnel).
     cdx = speed * (("d" in keys) - ("a" in keys))
     cdy = speed * (("e" in keys) - ("q" in keys))
     cdz = speed * (("s" in keys) - ("w" in keys))
     camera_moved = bool(cdx or cdy or cdz)
     if camera_moved:
-        camera = dataclasses.replace(
-            camera,
-            position=camera.position + jnp.array([cdx, cdy, cdz], jnp.float32),
-        )
+        pos = np.asarray(camera.position) + np.array([cdx, cdy, cdz], np.float32)
+        camera = dataclasses.replace(camera, position=jnp.asarray(pos))
 
     ldx = speed * (("l" in keys) - ("j" in keys))
     ldy = speed * (("o" in keys) - ("u" in keys))
     ldz = speed * (("k" in keys) - ("i" in keys))
     if ldx or ldy or ldz:
-        pos = light.position + jnp.array([ldx, ldy, ldz], jnp.float32)
-        x = float(pos[0])
+        pos = np.asarray(light.position) + np.array([ldx, ldy, ldz], np.float32)
         # wrap exactly like main.cpp:1151-1160: crossing +2 going right
         # teleports to -20; crossing -20 going left teleports to +2
-        if ldx > 0 and x > cfg.light_x_wrap_hi:
-            x = cfg.light_x_wrap_lo
-        elif ldx < 0 and x < cfg.light_x_wrap_lo:
-            x = cfg.light_x_wrap_hi
-        light = dataclasses.replace(
-            light, position=jnp.array([x, float(pos[1]), float(pos[2])], jnp.float32)
-        )
+        if ldx > 0 and pos[0] > cfg.light_x_wrap_hi:
+            pos[0] = cfg.light_x_wrap_lo
+        elif ldx < 0 and pos[0] < cfg.light_x_wrap_lo:
+            pos[0] = cfg.light_x_wrap_hi
+        light = dataclasses.replace(light, position=jnp.asarray(pos))
     return camera, light, camera_moved

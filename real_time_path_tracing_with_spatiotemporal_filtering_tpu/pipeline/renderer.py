@@ -93,18 +93,20 @@ class Renderer:
         )
 
     # --- interaction ----------------------------------------------------
+    # Host-side numpy arithmetic only: every tiny jnp op here would cost a
+    # full dispatch round trip per frame (tens of ms over the TPU tunnel).
     def move_camera(self, dx: float = 0.0, dy: float = 0.0, dz: float = 0.0):
+        pos = np.asarray(self.camera.position) + np.array([dx, dy, dz], np.float32)
         self.camera = dataclasses.replace(
-            self.camera,
-            position=self.camera.position
-            + jnp.array([dx, dy, dz], jnp.float32),
+            self.camera, position=jnp.asarray(pos)
         )
 
     def move_light(self, dx: float = 0.0, dy: float = 0.0, dz: float = 0.0):
         """Light translation with the reference's x wraparound
         (main.cpp:1149-1160: x > 2 wraps to -20 and vice versa)."""
-        pos = self.light.position + jnp.array([dx, dy, dz], jnp.float32)
-        x = pos[0]
-        x = jnp.where(x > self.cfg.light_x_wrap_hi, self.cfg.light_x_wrap_lo, x)
-        x = jnp.where(x < self.cfg.light_x_wrap_lo, self.cfg.light_x_wrap_hi, x)
-        self.light = dataclasses.replace(self.light, position=pos.at[0].set(x))
+        pos = np.asarray(self.light.position) + np.array([dx, dy, dz], np.float32)
+        if pos[0] > self.cfg.light_x_wrap_hi:
+            pos[0] = self.cfg.light_x_wrap_lo
+        elif pos[0] < self.cfg.light_x_wrap_lo:
+            pos[0] = self.cfg.light_x_wrap_hi
+        self.light = dataclasses.replace(self.light, position=jnp.asarray(pos))
