@@ -1,0 +1,114 @@
+"""Denoising quality benchmark: rMSE vs a high-spp converged reference.
+
+BASELINE.md's second tracked metric. A ground-truth image is accumulated
+from many independent 1-spp frames (distinct frame seeds), then the
+denoiser's steady-state output is compared against it alongside the raw
+1-spp input, reporting the improvement factor.
+
+Run: python -m benchmarks.quality [--spp 1024] [--size 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def ground_truth(tri_data, camera, light, cfg, total_spp: int):
+    """Average many independent 1-spp renders (each frame index is an
+    independent PCG stream, raytrace.comp.glsl:297)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+        pathtrace,
+    )
+
+    fn = jax.jit(
+        lambda f: pathtrace.path_trace_pass(
+            tri_data, camera.position, light, f, cfg
+        )
+    )
+    acc = np.zeros((cfg.height, cfg.width, 3), np.float64)
+    for f in range(total_spp):
+        acc += np.asarray(fn(jnp.int32(f + 1_000_000)))
+    return (acc / total_spp).astype(np.float32)
+
+
+def run(size: int, spp: int, frames: int):
+    import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Camera,
+        Light,
+        precompute_triangle_data,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.utils.image import (
+        rmse,
+    )
+
+    cfg = ptsf.RenderConfig(width=size, height=size)
+    scene = ptsf.Scene.cornell_box()
+    td = precompute_triangle_data(scene)
+    cam, light = Camera.default(), Light.default()
+
+    truth = ground_truth(td, cam, light, cfg, spp)
+
+    r = ptsf.Renderer(scene, cfg, camera=cam, light=light)
+    out = None
+    for _ in range(frames):
+        out = np.asarray(r.step())
+
+    # raw 1-spp noise level for the improvement factor
+    import jax.numpy as jnp
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+        pathtrace,
+    )
+
+    noisy = np.asarray(
+        pathtrace.path_trace_pass(td, cam.position, light, jnp.int32(frames), cfg)
+    )
+
+    # clamp to displayable range: the HDR light pixels dominate rMSE
+    # otherwise (the reference displays clamped output too)
+    c = lambda x: np.clip(x, 0.0, 1.0)
+    return {
+        "rmse_denoised": rmse(c(out), c(truth)),
+        "rmse_noisy_1spp": rmse(c(noisy), c(truth)),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--spp", type=int, default=1024)
+    parser.add_argument("--frames", type=int, default=32)
+    args = parser.parse_args()
+    stats = run(args.size, args.spp, args.frames)
+    improvement = stats["rmse_noisy_1spp"] / max(stats["rmse_denoised"], 1e-12)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"denoised rMSE vs {args.spp}-spp reference, "
+                    f"{args.size}x{args.size} Cornell (clamped [0,1])"
+                ),
+                "value": round(stats["rmse_denoised"], 6),
+                "unit": "rmse",
+                "noisy_1spp_rmse": round(stats["rmse_noisy_1spp"], 6),
+                "improvement_factor": round(improvement, 2),
+            }
+        )
+    )
+    print(
+        f"denoised {stats['rmse_denoised']:.4f} vs noisy "
+        f"{stats['rmse_noisy_1spp']:.4f} ({improvement:.1f}x better)",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
