@@ -64,10 +64,14 @@ def run_suite(quick: bool):
     results.append(("cornell_512_full_svgf", bench_renderer(cornell(cfg2), frames)))
 
     # 3. orbiting camera, full A-SVGF with adaptive alpha, 1080p
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Camera,
+    )
+
     cfg3 = ptsf.RenderConfig(width=1920, height=1080, adaptive_alpha=True)
 
     def orbit(r, i):
-        r.move_camera(dx=0.05 if i % 2 == 0 else -0.05, dz=-0.02)
+        r.camera = Camera.orbit([0.0, 1.0, 0.0], 6.0, 0.01 * i, 1.0)
 
     results.append(
         ("cornell_1080p_asvgf_orbit", bench_renderer(cornell(cfg3), frames, orbit))

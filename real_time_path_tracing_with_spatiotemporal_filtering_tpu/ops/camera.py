@@ -17,13 +17,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def pixel_rays(px, py, width, height, fov, jitter_x=None, jitter_y=None):
+def pixel_rays(px, py, width, height, fov, jitter_x=None, jitter_y=None, rotation=None):
     """Ray directions for pixel coordinates (raytrace.comp.glsl:314-320).
 
     ``px``/``py`` float or int arrays of pixel indices (column, row). The
     sample point is the pixel center plus an optional jitter offset. Returns
     normalized (..., 3) directions in world space (camera never rotates in
-    the reference: forward is -z, raytrace.comp.glsl:319).
+    the reference: forward is -z, raytrace.comp.glsl:319; pass a (3, 3)
+    camera->world ``rotation`` to orbit/look around -- extension).
     """
     fx = px.astype(jnp.float32) + jnp.float32(0.5)
     fy = py.astype(jnp.float32) + jnp.float32(0.5)
@@ -42,6 +43,8 @@ def pixel_rays(px, py, width, height, fov, jitter_x=None, jitter_y=None):
         [slope * u, slope * v, -jnp.ones_like(u)],
         axis=-1,
     )
+    if rotation is not None:
+        d = jnp.einsum("ij,...j->...i", rotation, d)
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
@@ -90,6 +93,17 @@ def vulkan_perspective(fovy, aspect, near, far):
     """perspective() with the reference's y flip (main.cpp:1472)."""
     p = perspective(fovy, aspect, near, far)
     return p.at[1, 1].multiply(-1.0)
+
+
+def camera_view(position, rotation):
+    """World->camera view matrix from a camera->world basis:
+    [[R^T, -R^T p], [0, 1]]. With identity rotation this equals the
+    reference's translate-only lookAt (main.cpp:1471)."""
+    p = jnp.asarray(position, jnp.float32)
+    rt = jnp.asarray(rotation, jnp.float32).T
+    top = jnp.concatenate([rt, (-(rt @ p))[:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
+    return jnp.concatenate([top, bottom], axis=0)
 
 
 def reference_view(camera_pos):

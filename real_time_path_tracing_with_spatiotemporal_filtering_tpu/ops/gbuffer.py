@@ -35,7 +35,7 @@ class GBuffer(NamedTuple):
     depth: jnp.ndarray       # (H, W) raster-equivalent NDC depth (1 for bg)
 
 
-def visibility_pass(tri_data, camera_pos, view, proj, cfg, row_offset=0, rows=None) -> GBuffer:
+def visibility_pass(tri_data, camera_pos, view, proj, cfg, row_offset=0, rows=None, rotation=None) -> GBuffer:
     """Trace one center ray per pixel and assemble the G-buffer.
 
     ``view``/``proj`` are only used to reproduce the raster depth channel
@@ -50,7 +50,9 @@ def visibility_pass(tri_data, camera_pos, view, proj, cfg, row_offset=0, rows=No
     w = cfg.width
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row_offset
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    dirs = cam_ops.pixel_rays(px, py, cfg.width, cfg.height, cfg.fov)
+    dirs = cam_ops.pixel_rays(
+        px, py, cfg.width, cfg.height, cfg.fov, rotation=rotation
+    )
     origins = jnp.broadcast_to(camera_pos, (h, w, 3))
 
     rec = intersect.nearest_hit(

@@ -116,9 +116,12 @@ def _geometry_kernel(
     fy = gy.astype(jnp.float32) + jnp.float32(0.5)
     su = (jnp.float32(2.0) * fx - wf) * inv_h
     sv = -(jnp.float32(2.0) * fy - hf) * inv_h
-    dx = slope * su
-    dy = slope * sv
-    dz = jnp.full_like(dx, -1.0)
+    cx_ = slope * su
+    cy_ = slope * sv
+    r = [fparams_ref[35 + m] for m in range(9)]
+    dx = r[0] * cx_ + r[1] * cy_ - r[2]
+    dy = r[3] * cx_ + r[4] * cy_ - r[5]
+    dz = r[6] * cx_ + r[7] * cy_ - r[8]
     inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
     ox = jnp.full_like(dx, cam_x)
@@ -238,7 +241,7 @@ def pack_lut_verts(lut: jnp.ndarray) -> jnp.ndarray:
 def geometry_pass_pallas(
     tri_data, lut_prev, camera_pos, light_pos, light_pos_prev,
     light_color, light_color_prev, view, proj, view_prev, proj_prev, cfg,
-    row_offset=0, rows=None, interpret=False, planar=False,
+    row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
 ) -> GeometryBuffers:
     """Fused G-buffer + gradient + backprojection pass.
 
@@ -254,6 +257,8 @@ def geometry_pass_pallas(
     prev_verts = pack_lut_verts(lut_prev)
     num_tris = int(tri_table.shape[0])
 
+    if rotation is None:
+        rotation = jnp.eye(3, dtype=jnp.float32)
     mat = proj @ view
     mat_prev = proj_prev @ view_prev
     fparams = jnp.concatenate(
@@ -268,6 +273,7 @@ def geometry_pass_pallas(
             mat_prev[0].reshape(4),
             mat_prev[1].reshape(4),
             mat_prev[3].reshape(4),
+            jnp.asarray(rotation, jnp.float32).reshape(9),
         ]
     )
     iparams = jnp.asarray(row_offset, jnp.int32).reshape(1)

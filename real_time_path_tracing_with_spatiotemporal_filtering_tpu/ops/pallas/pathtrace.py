@@ -219,9 +219,13 @@ def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, out_r, out_g, 
             fy = py.astype(jnp.float32) + jnp.float32(0.5) + jy
             su = (jnp.float32(2.0) * fx - wf) * inv_h
             sv = -(jnp.float32(2.0) * fy - hf) * inv_h
-            ddx = slope * su
-            ddy = slope * sv
-            ddz = jnp.full_like(ddx, -1.0)
+            cx_ = slope * su
+            cy_ = slope * sv
+            # camera->world rotation (identity in reference-parity mode)
+            r = [fparams_ref[10 + m] for m in range(9)]
+            ddx = r[0] * cx_ + r[1] * cy_ - r[2]
+            ddy = r[3] * cx_ + r[4] * cy_ - r[5]
+            ddz = r[6] * cx_ + r[7] * cy_ - r[8]
             inv_n = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
             ddx, ddy, ddz = ddx * inv_n, ddy * inv_n, ddz * inv_n
 
@@ -365,9 +369,12 @@ def _gbuffer_kernel(
     fy = py.astype(jnp.float32) + jnp.float32(0.5)
     su = (jnp.float32(2.0) * fx - wf) * inv_h
     sv = -(jnp.float32(2.0) * fy - hf) * inv_h
-    dx = slope * su
-    dy = slope * sv
-    dz = jnp.full_like(dx, -1.0)
+    cx_ = slope * su
+    cy_ = slope * sv
+    r = [fparams_ref[11 + m] for m in range(9)]
+    dx = r[0] * cx_ + r[1] * cy_ - r[2]
+    dy = r[3] * cx_ + r[4] * cy_ - r[5]
+    dz = r[6] * cx_ + r[7] * cy_ - r[8]
     inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
     ox = jnp.full_like(dx, cam_x)
@@ -397,7 +404,7 @@ def _gbuffer_kernel(
 
 def visibility_pass_pallas(
     tri_data, camera_pos, view, proj, cfg,
-    row_offset=0, rows=None, interpret=False,
+    row_offset=0, rows=None, interpret=False, rotation=None,
 ):
     """Pallas drop-in for ops.gbuffer.visibility_pass (same outputs).
 
@@ -412,12 +419,15 @@ def visibility_pass_pallas(
     tri_table = pack_triangles(tri_data)
     num_tris = int(tri_table.shape[0])
 
+    if rotation is None:
+        rotation = jnp.eye(3, dtype=jnp.float32)
     mat = proj @ view
     fparams = jnp.concatenate(
         [
             jnp.asarray(camera_pos, jnp.float32).reshape(3),
             mat[2].reshape(4),
             mat[3].reshape(4),
+            jnp.asarray(rotation, jnp.float32).reshape(9),
         ]
     )
     iparams = jnp.asarray(row_offset, jnp.int32).reshape(1)
@@ -448,7 +458,7 @@ def visibility_pass_pallas(
 
 def path_trace_pass_pallas(
     tri_data, camera_pos, light, frame_idx, cfg,
-    row_offset=0, rows=None, interpret=False, planar=False,
+    row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
 ):
     """Pallas drop-in for ops.pathtrace.path_trace_pass (same signature +
     semantics). Returns (rows, W, 3) radiance, or the three (rows, W)
@@ -458,12 +468,15 @@ def path_trace_pass_pallas(
     tri_table = pack_triangles(tri_data)
     num_tris = int(tri_table.shape[0])
 
+    if rotation is None:
+        rotation = jnp.eye(3, dtype=jnp.float32)
     fparams = jnp.concatenate(
         [
             jnp.asarray(camera_pos, jnp.float32).reshape(3),
             jnp.asarray(light.position, jnp.float32).reshape(3),
             (jnp.asarray(light.color, jnp.float32) * cfg.light_intensity).reshape(3),
             jnp.array([cfg.light_radius], jnp.float32),
+            jnp.asarray(rotation, jnp.float32).reshape(9),
         ]
     )
     iparams = jnp.asarray(row_offset, jnp.int32).reshape(1)

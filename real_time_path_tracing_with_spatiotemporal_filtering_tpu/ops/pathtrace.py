@@ -101,7 +101,7 @@ def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, 
     return jnp.where(alive[..., None], accum, result)
 
 
-def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, rows=None):
+def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, rows=None, rotation=None):
     """Full path-trace pass: per-pixel seeds, AA jitter, spp loop, average
     (raytrace.comp.glsl:273-344). Returns the noisy radiance (H, W, 3).
 
@@ -129,6 +129,7 @@ def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, r
                 cfg.fov,
                 jitter_x=jnp.float32(cfg.aa_sigma) * gx,
                 jitter_y=jnp.float32(cfg.aa_sigma) * gy,
+                rotation=rotation,
             )
             origins = jnp.broadcast_to(camera_pos, (h, w, 3))
             color = trace_paths(

@@ -66,11 +66,11 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
     row_offset = jax.lax.axis_index(axis) * local_h
 
     frame_idx = history_local.frame
-    view, proj = camera_matrices(camera.position, cfg)
+    view, proj = camera_matrices(camera, cfg)
 
     gbuf = gbuffer.visibility_pass(
         tri_data, camera.position, view, proj, cfg,
-        row_offset=row_offset, rows=local_h,
+        row_offset=row_offset, rows=local_h, rotation=camera.rotation,
     )
     lut = tri_data.lut
 
@@ -82,7 +82,7 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
 
     noisy = pathtrace.path_trace_pass(
         tri_data, camera.position, light, frame_idx, cfg,
-        row_offset=row_offset, rows=local_h,
+        row_offset=row_offset, rows=local_h, rotation=camera.rotation,
     )
 
     normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]

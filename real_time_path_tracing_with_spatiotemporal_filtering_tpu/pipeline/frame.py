@@ -37,10 +37,15 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import
 )
 
 
-def camera_matrices(camera_pos, cfg: RenderConfig):
-    """The reference's per-frame UBO matrices (main.cpp:1463-1475): a
-    translate-only view and glm::perspective(2*FOV) with the Vulkan y flip."""
-    view = cam_ops.reference_view(camera_pos)
+def camera_matrices(camera, cfg: RenderConfig):
+    """The reference's per-frame UBO matrices (main.cpp:1463-1475): the view
+    (translate-only in the reference; general camera->world basis here) and
+    glm::perspective(2*FOV) with the Vulkan y flip. Accepts a Camera or a
+    bare (3,) position (identity rotation)."""
+    if isinstance(camera, Camera):
+        view = cam_ops.camera_view(camera.position, camera.rotation)
+    else:
+        view = cam_ops.reference_view(camera)
     proj = cam_ops.vulkan_perspective(
         cfg.fov * 2.0, cfg.width / cfg.height, cfg.near, cfg.far
     )
@@ -73,10 +78,12 @@ def render_frame_impl(
     if _use_pallas(cfg):
         return _render_frame_pallas(tri_data, camera, light, history, cfg)
     frame_idx = history.frame
-    view, proj = camera_matrices(camera.position, cfg)
+    view, proj = camera_matrices(camera, cfg)
 
     # -- pass 1: visibility G-buffer (replaces visibility.{vert,geom,frag}) --
-    gbuf = gbuffer.visibility_pass(tri_data, camera.position, view, proj, cfg)
+    gbuf = gbuffer.visibility_pass(
+        tri_data, camera.position, view, proj, cfg, rotation=camera.rotation
+    )
     lut = tri_data.lut  # static geometry: rebuilt-per-frame in the reference
 
     # -- pass 2: temporal gradient (temporalGradient.comp.glsl) --
@@ -93,7 +100,8 @@ def render_frame_impl(
 
     # -- pass 3: path trace (raytrace.comp.glsl) --
     noisy = pathtrace.path_trace_pass(
-        tri_data, camera.position, light, frame_idx, cfg
+        tri_data, camera.position, light, frame_idx, cfg,
+        rotation=camera.rotation,
     )
 
     # -- pass 4: a-trous filter + temporal EMA (temporalFiltering.comp.glsl) --
@@ -137,17 +145,17 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
 
     interpret = jax.default_backend() != "tpu"
     frame_idx = history.frame
-    view, proj = camera_matrices(camera.position, cfg)
+    view, proj = camera_matrices(camera, cfg)
 
     geo = geo_mod.geometry_pass_pallas(
         tri_data, history.lut, camera.position,
         light.position, history.light_pos, light.color, history.light_color,
         view, proj, history.view, history.proj, cfg,
-        interpret=interpret, planar=True,
+        interpret=interpret, planar=True, rotation=camera.rotation,
     )
     noisy = pt_mod.path_trace_pass_pallas(
         tri_data, camera.position, light, frame_idx, cfg,
-        interpret=interpret, planar=True,
+        interpret=interpret, planar=True, rotation=camera.rotation,
     )
     filtered = atrous_pl.atrous_filter_pallas(
         noisy, geo.normal, geo.depth, cfg, interpret=interpret

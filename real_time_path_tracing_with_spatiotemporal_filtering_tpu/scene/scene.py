@@ -58,16 +58,49 @@ class Scene:
 
 @pytree_dataclass
 class Camera:
-    """Translate-only pinhole camera (the reference camera never rotates:
-    rays go along -z, raytrace.comp.glsl:319; view is a translation,
-    main.cpp:1471)."""
+    """Pinhole camera. The reference camera never rotates (rays go along
+    -z, raytrace.comp.glsl:319; view is a translation, main.cpp:1471), so
+    ``rotation`` defaults to identity for parity; it is a camera->world
+    basis (columns = right, up, back) enabling orbits/look-at as an
+    extension."""
 
     position: jnp.ndarray  # (3,) float32
+    rotation: jnp.ndarray  # (3, 3) float32, camera->world
 
     @classmethod
     def default(cls) -> "Camera":
         # main.cpp:65 cameraOrigin(-0.001, 1.0, 6.0)
-        return cls(position=jnp.array([-0.001, 1.0, 6.0], jnp.float32))
+        return cls(
+            position=jnp.array([-0.001, 1.0, 6.0], jnp.float32),
+            rotation=jnp.eye(3, dtype=jnp.float32),
+        )
+
+    @classmethod
+    def looking_at(cls, position, target, up=(0.0, 1.0, 0.0)) -> "Camera":
+        """Extension: camera at ``position`` looking at ``target``."""
+        import numpy as np
+
+        p = np.asarray(position, np.float32)
+        f = np.asarray(target, np.float32) - p
+        f = f / np.linalg.norm(f)
+        u = np.asarray(up, np.float32)
+        r = np.cross(f, u)
+        r = r / np.linalg.norm(r)
+        u = np.cross(r, f)
+        rot = np.stack([r, u, -f], axis=1)  # columns: right, up, back
+        return cls(position=jnp.asarray(p), rotation=jnp.asarray(rot))
+
+    @classmethod
+    def orbit(cls, center, radius, azimuth, height) -> "Camera":
+        """Extension: orbit around ``center`` at ``radius``, looking in."""
+        import numpy as np
+
+        c = np.asarray(center, np.float32)
+        pos = c + np.array(
+            [radius * np.sin(azimuth), height, radius * np.cos(azimuth)],
+            np.float32,
+        )
+        return cls.looking_at(pos, c)
 
 
 @pytree_dataclass
