@@ -60,51 +60,92 @@ def _history_spec(axis: str) -> History:
 
 def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis: str):
     """Per-device slab of the frame. ``history_local`` carries this shard's
-    rows of image/visibility and replicated everything-else."""
+    rows of image/visibility and replicated everything-else.
+
+    On TPU (cfg.backend auto/pallas) the per-pixel passes run as the same
+    Pallas kernels as the single-chip path -- they take a traced
+    ``row_offset`` so the slab renders its global rows; the a-trous halo
+    exchange and reprojection gather stay in XLA either way.
+    """
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.frame import (
+        _use_pallas,
+    )
+
     n = jax.lax.axis_size(axis)
     local_h = cfg.height // n
     row_offset = jax.lax.axis_index(axis) * local_h
 
     frame_idx = history_local.frame
     view, proj = camera_matrices(camera, cfg)
-
-    gbuf = gbuffer.visibility_pass(
-        tri_data, camera.position, view, proj, cfg,
-        row_offset=row_offset, rows=local_h, rotation=camera.rotation,
-    )
+    use_pallas = _use_pallas(cfg)
+    interpret = jax.default_backend() != "tpu"
     lut = tri_data.lut
 
-    lam = gradient.temporal_gradient_pass(
-        gbuf, lut, history_local.lut, camera.position,
-        light.position, history_local.light_pos,
-        light.color, history_local.light_color,
-    )
+    if use_pallas:
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+            geometry as geo_mod,
+            pathtrace as pt_mod,
+        )
 
-    noisy = pathtrace.path_trace_pass(
-        tri_data, camera.position, light, frame_idx, cfg,
-        row_offset=row_offset, rows=local_h, rotation=camera.rotation,
-    )
+        geo = geo_mod.geometry_pass_pallas(
+            tri_data, history_local.lut, camera.position,
+            light.position, history_local.light_pos,
+            light.color, history_local.light_color,
+            view, proj, history_local.view, history_local.proj, cfg,
+            row_offset=row_offset, rows=local_h,
+            interpret=interpret, rotation=camera.rotation,
+        )
+        visibility = geo.visibility
+        depth = geo.depth
+        normal_img = geo.normal
+        lam = geo.lam
+        noisy = pt_mod.path_trace_pass_pallas(
+            tri_data, camera.position, light, frame_idx, cfg,
+            row_offset=row_offset, rows=local_h,
+            interpret=interpret, rotation=camera.rotation,
+        )
+    else:
+        gbuf = gbuffer.visibility_pass(
+            tri_data, camera.position, view, proj, cfg,
+            row_offset=row_offset, rows=local_h, rotation=camera.rotation,
+        )
+        visibility = gbuf.visibility
+        depth = gbuf.depth
+        normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
+        lam = gradient.temporal_gradient_pass(
+            gbuf, lut, history_local.lut, camera.position,
+            light.position, history_local.light_pos,
+            light.color, history_local.light_color,
+        )
+        noisy = pathtrace.path_trace_pass(
+            tri_data, camera.position, light, frame_idx, cfg,
+            row_offset=row_offset, rows=local_h, rotation=camera.rotation,
+        )
 
-    normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
     c = noisy
     for k in range(1, cfg.wavelet_iterations + 1):
         c = atrous.atrous_iteration(
             exchange_row_halo(c, k, axis),
             exchange_row_halo(normal_img, k, axis),
-            exchange_row_halo(gbuf.depth, k, axis),
+            exchange_row_halo(depth, k, axis),
             k, cfg, halo=k,
         )
 
     prev_full = jax.lax.all_gather(history_local.image, axis, axis=0, tiled=True)
-    rgb = atrous.temporal_accumulate(
-        c, prev_full, gbuf, history_local.lut,
-        history_local.view, history_local.proj, frame_idx, lam, cfg,
-        row_offset=row_offset,
-    )
+    if use_pallas:
+        rgb = atrous.temporal_accumulate_at(
+            c, prev_full, geo.prev_y, geo.prev_x, frame_idx, lam, cfg
+        )
+    else:
+        rgb = atrous.temporal_accumulate(
+            c, prev_full, gbuf, history_local.lut,
+            history_local.view, history_local.proj, frame_idx, lam, cfg,
+            row_offset=row_offset,
+        )
 
     new_history = History(
         image=rgb,
-        visibility=gbuf.visibility,
+        visibility=visibility,
         lut=lut,
         view=view,
         proj=proj,

@@ -140,14 +140,24 @@ class TriangleData:
     lut_normals: jnp.ndarray   # (T+1, 3) filter normals w/ background slot
 
 
-def precompute_triangle_data(scene: Scene) -> TriangleData:
+def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
     """Build all per-triangle tables. Pure and jittable; for static scenes
     call once at load, for animated geometry call per frame on the
-    transformed vertices."""
+    transformed vertices.
+
+    ``albedo``: optional (T, 3) per-triangle albedo. Default reproduces the
+    reference's hardcoded normal-keyed materials (raytrace.comp.glsl:
+    155-163); overriding is the extension point for real material systems
+    (both backends read TriangleData.albedo)."""
     tris = scene.triangles
     planes = build_triangle_planes(tris)
     normals = planes.n / jnp.linalg.norm(planes.n, axis=-1, keepdims=True)
-    albedo = shading.albedo_from_normal(normals)
+    if albedo is None:
+        albedo = shading.albedo_from_normal(normals)
+    else:
+        albedo = jnp.asarray(albedo, jnp.float32)
+        if albedo.shape != tris.shape[:1] + (3,):
+            raise ValueError(f"albedo must be (T, 3), got {albedo.shape}")
     lut = jnp.concatenate([jnp.zeros((1, 3, 3), tris.dtype), tris], axis=0)
     background_normal = jnp.array([[0.0, 0.0, 1.0]], jnp.float32)
     lut_normals = jnp.concatenate([background_normal, normals], axis=0)
