@@ -71,6 +71,11 @@ class RenderConfig:
     # "xla": force the pure-XLA formulation (reference numerics, any device).
     # "pallas": force Pallas kernels (interpret-mode off-TPU; slow, testing).
     backend: str = "auto"
+    # In the Pallas bounce loop, pack surviving rays into a quarter-width
+    # tile once each row's alive count fits (collision-free roll routing):
+    # the long tail of deep bounces then costs 1/4 per segment. Bit-exact
+    # with the uncompacted loop (rays carry their RNG state).
+    bounce_compaction: bool = True
 
     # --- numerics ---
     dtype: str = "float32"  # compute dtype for the radiance path

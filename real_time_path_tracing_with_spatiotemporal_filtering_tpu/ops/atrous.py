@@ -152,8 +152,28 @@ def backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg, row_offset=0):
 
 def temporal_accumulate_at(filtered, prev_image, prev_y, prev_x, frame_idx, lam, cfg):
     """EMA blend with precomputed backprojection coordinates (the Pallas
-    geometry kernel emits them); only the image gather + blend remain."""
-    reprojected = prev_image[prev_y, prev_x]
+    geometry kernel emits them); only the image gather + blend remain.
+
+    Static-view fast path: when the backprojection is the identity map
+    (camera and geometry unchanged -- the common interactive case), the
+    ~10 ms/1080p random gather collapses to an aligned read, chosen by a
+    runtime lax.cond on the index planes.
+    """
+    h, w = prev_y.shape
+    if prev_image.shape[:2] == (h, w):
+        own_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        own_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        aligned = jnp.all((prev_y == own_y) & (prev_x == own_x))
+        reprojected = jax.lax.cond(
+            aligned,
+            lambda img: img,
+            lambda img: img[prev_y, prev_x],
+            prev_image,
+        )
+    else:
+        # sharded mode: prev_image is the all-gathered full-height frame
+        # while the index planes are this shard's rows; plain gather.
+        reprojected = prev_image[prev_y, prev_x]
     alpha = jnp.float32(cfg.ema_alpha)
     if cfg.adaptive_alpha:
         alpha = (1.0 - lam) * alpha + lam

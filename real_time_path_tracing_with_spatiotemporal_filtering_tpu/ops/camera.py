@@ -10,11 +10,22 @@ depth channel and for worldToPixel reprojection
 (temporalFiltering.comp.glsl:178-189).
 
 Matrices are row-major: ``clip = proj @ view @ [p, 1]``.
+
+All matrix products here run at HIGHEST precision: TPU matmuls/einsums
+default to bf16 MXU passes whose 8-bit mantissas corrupt even a 4x4
+projection matrix by ~0.1% -- enough to shift reprojections by a pixel.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+_einsum = functools.partial(jnp.einsum, precision=_HI)
+_matmul = functools.partial(jnp.matmul, precision=_HI)
 
 
 def pixel_rays(px, py, width, height, fov, jitter_x=None, jitter_y=None, rotation=None):
@@ -44,7 +55,7 @@ def pixel_rays(px, py, width, height, fov, jitter_x=None, jitter_y=None, rotatio
         axis=-1,
     )
     if rotation is not None:
-        d = jnp.einsum("ij,...j->...i", rotation, d)
+        d = _einsum("ij,...j->...i", rotation, d)
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
@@ -101,7 +112,7 @@ def camera_view(position, rotation):
     reference's translate-only lookAt (main.cpp:1471)."""
     p = jnp.asarray(position, jnp.float32)
     rt = jnp.asarray(rotation, jnp.float32).T
-    top = jnp.concatenate([rt, (-(rt @ p))[:, None]], axis=1)
+    top = jnp.concatenate([rt, (-_matmul(rt, p))[:, None]], axis=1)
     bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
     return jnp.concatenate([top, bottom], axis=0)
 
@@ -124,7 +135,7 @@ def world_to_clip(world_pos, view, proj):
     p = jnp.concatenate(
         [world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1
     )
-    return jnp.einsum("ij,...j->...i", proj @ view, p)
+    return _einsum("ij,...j->...i", _matmul(proj, view), p)
 
 
 def world_to_pixel(world_pos, view, proj, width, height):

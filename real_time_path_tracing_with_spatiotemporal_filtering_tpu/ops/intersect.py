@@ -19,8 +19,10 @@ barycentric-inside test the hardware ray query commits.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -87,12 +89,18 @@ def nearest_hit(
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
 
-    no = o @ planes.n.T          # (N, T)
-    nd = d @ planes.n.T
-    n1o = o @ planes.n1.T
-    n1d = d @ planes.n1.T
-    n2o = o @ planes.n2.T
-    n2d = d @ planes.n2.T
+    # HIGHEST precision: TPU matmuls default to bf16 MXU passes, whose
+    # 8-bit mantissas visibly bend rays (hits land ~0.5% off the true
+    # line); geometry needs full f32.
+    mm = functools.partial(
+        jnp.matmul, precision=jax.lax.Precision.HIGHEST
+    )
+    no = mm(o, planes.n.T)          # (N, T)
+    nd = mm(d, planes.n.T)
+    n1o = mm(o, planes.n1.T)
+    n1d = mm(d, planes.n1.T)
+    n2o = mm(o, planes.n2.T)
+    n2d = mm(d, planes.n2.T)
 
     safe_nd = jnp.where(jnp.abs(nd) < eps, eps, nd)
     t = (planes.d0[None, :] - no) / safe_nd

@@ -259,8 +259,11 @@ def geometry_pass_pallas(
 
     if rotation is None:
         rotation = jnp.eye(3, dtype=jnp.float32)
-    mat = proj @ view
-    mat_prev = proj_prev @ view_prev
+    # HIGHEST precision: default TPU matmul is bf16 and corrupts the
+    # projection matrix enough to shift reprojected pixels.
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    mat = mm(proj, view)
+    mat_prev = mm(proj_prev, view_prev)
     fparams = jnp.concatenate(
         [
             jnp.asarray(camera_pos, jnp.float32).reshape(3),

@@ -47,6 +47,11 @@ _TWO_PI = np.float32(2.0 * 3.14159265)
 # albedo(15:18) unit normal(18:21)
 TRI_COLS = 21
 
+# shading-primitive (coplanar pair) table columns:
+# n(0:3) d0(3) | sub-tri A: n1,d1,n2,d2 (4:12) | sub-tri B: (12:20)
+# albedo(20:23) unit normal(23:26)
+PAIR_COLS = 26
+
 
 def pack_triangles(tri_data) -> jnp.ndarray:
     """Flatten TriangleData into the (T, 21) SMEM scalar table."""
@@ -65,6 +70,62 @@ def pack_triangles(tri_data) -> jnp.ndarray:
         ],
         axis=1,
     ).astype(jnp.float32)
+
+
+def pack_shading_pairs(tri_data) -> "np.ndarray":
+    """Merge coplanar fan pairs into (P, 26) shading primitives.
+
+    The bounce loop only consumes the hit's t, geometric normal and albedo
+    -- all identical for the two triangles of a planar quad after fan
+    triangulation ((0,1,2), (0,2,3), scene/obj.py). Consecutive triangle
+    pairs sharing plane, normal AND albedo merge into one primitive with a
+    shared plane test and two barycentric inside-tests; unmergeable
+    triangles become a pair of two identical sub-triangles (same cost, same
+    result). Cornell: 32 tris -> 16 primitives, ~25% fewer bounce-loop ops.
+
+    Host-side (numpy): pairing is data-dependent, done once at scene load.
+    """
+    p = tri_data.planes
+    n = np.asarray(p.n)
+    d0 = np.asarray(p.d0)
+    n1, d1 = np.asarray(p.n1), np.asarray(p.d1)
+    n2, d2 = np.asarray(p.n2), np.asarray(p.d2)
+    albedo = np.asarray(tri_data.albedo)
+    normals = np.asarray(tri_data.normals)
+    num = n.shape[0]
+
+    def coplanar(i, j):
+        # same oriented plane (normalized) and same material
+        sa = np.linalg.norm(n[i])
+        sb = np.linalg.norm(n[j])
+        if sa < 1e-12 or sb < 1e-12:
+            return False
+        return (
+            np.allclose(n[i] / sa, n[j] / sb, atol=1e-5)
+            and abs(d0[i] / sa - d0[j] / sb) < 1e-5
+            and np.allclose(albedo[i], albedo[j], atol=1e-6)
+        )
+
+    rows = []
+    i = 0
+    while i < num:
+        if i + 1 < num and coplanar(i, i + 1):
+            a, b = i, i + 1
+            i += 2
+        else:
+            a = b = i
+            i += 1
+        rows.append(
+            np.concatenate(
+                [
+                    n[a], [d0[a]],
+                    n1[a], [d1[a]], n2[a], [d2[a]],
+                    n1[b], [d1[b]], n2[b], [d2[b]],
+                    albedo[a], normals[a],
+                ]
+            )
+        )
+    return np.asarray(rows, np.float32)
 
 
 def _u2f(word):
@@ -156,6 +217,215 @@ def _nearest_hit_unrolled(
     return best_t, hit, (bnx, bny, bnz), (bar, bag, bab)
 
 
+def _nearest_hit_pairs(pair_ref, num_pairs, ox, oy, oz, dx, dy, dz, cfg):
+    """Closest-hit over merged coplanar pairs (PAIR_COLS layout): one plane
+    test + two barycentric inside-tests per primitive. Returns
+    (best_t, hit, normal3, albedo3) -- no primitive identity (the bounce
+    loop does not need one)."""
+    t_max = jnp.float32(cfg.t_max)
+    big = t_max * jnp.float32(2.0)
+
+    def body(t, s):
+        best_t, hit_i, bnx, bny, bnz, bar, bag, bab = s
+        nx, ny, nz, d0 = pair_ref[t, 0], pair_ref[t, 1], pair_ref[t, 2], pair_ref[t, 3]
+        nd = dx * nx + dy * ny + dz * nz
+        no = ox * nx + oy * ny + oz * nz
+        t_hit = (d0 - no) / nd  # nan/inf self-rejects below
+
+        def inside(base):
+            n1x, n1y, n1z, d1 = (
+                pair_ref[t, base], pair_ref[t, base + 1],
+                pair_ref[t, base + 2], pair_ref[t, base + 3],
+            )
+            n2x, n2y, n2z, d2 = (
+                pair_ref[t, base + 4], pair_ref[t, base + 5],
+                pair_ref[t, base + 6], pair_ref[t, base + 7],
+            )
+            u = (n1x * ox + n1y * oy + n1z * oz) + t_hit * (
+                n1x * dx + n1y * dy + n1z * dz
+            ) + d1
+            v = (n2x * ox + n2y * oy + n2z * oz) + t_hit * (
+                n2x * dx + n2y * dy + n2z * dz
+            ) + d2
+            return (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
+
+        valid = (inside(4) | inside(12)) & (t_hit > 0.0)
+        if cfg.t_max < 1e4:
+            valid = valid & (t_hit <= t_max)
+        closer = valid & (t_hit < best_t)
+        best_t = jnp.where(closer, t_hit, best_t)
+        hit_i = hit_i | closer.astype(jnp.int32)
+        bnx = jnp.where(closer, pair_ref[t, 23], bnx)
+        bny = jnp.where(closer, pair_ref[t, 24], bny)
+        bnz = jnp.where(closer, pair_ref[t, 25], bnz)
+        bar = jnp.where(closer, pair_ref[t, 20], bar)
+        bag = jnp.where(closer, pair_ref[t, 21], bag)
+        bab = jnp.where(closer, pair_ref[t, 22], bab)
+        return best_t, hit_i, bnx, bny, bnz, bar, bag, bab
+
+    zero = jnp.zeros_like(ox)
+    init = (
+        jnp.full_like(ox, big),
+        jnp.zeros_like(ox, dtype=jnp.int32),
+        zero, zero, zero, zero, zero, zero,
+    )
+    best_t, hit_i, bnx, bny, bnz, bar, bag, bab = jax.lax.fori_loop(
+        0, num_pairs, body, init
+    )
+    return best_t, hit_i != 0, (bnx, bny, bnz), (bar, bag, bab)
+
+
+_NARROW_W = 128  # compacted tail-phase tile width (one vreg of lanes)
+
+
+def _roll_l(x, s):
+    """roll left by s along lanes: out[i] = x[i + s] (row-wrapping)."""
+    return pltpu.roll(x, (x.shape[1] - s) % x.shape[1], 1)
+
+
+def _roll_r(x, s):
+    """roll right by s along lanes: out[i] = x[i - s] (row-wrapping)."""
+    return pltpu.roll(x, s, 1)
+
+
+def _pack_stage(carry, nw):
+    """Left-pack alive lanes into the first ``nw`` columns of each row.
+
+    Uses collision-free binary routing: a lane preceded by k dead lanes
+    moves left by k, decomposed bit-by-bit (LSB->MSB); validated against a
+    numpy oracle over random masks. Returns the narrowed carry plus the
+    info needed to inverse-route results back out.
+    """
+    (seg, ox, oy, oz, dx, dy, dz,
+     tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_i, st) = carry
+    w = ox.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 1)
+    alive_w = alive_i != 0
+    # Preemptive fall-through (raytrace.comp.glsl:270): correct if the loop
+    # already exhausted max_bounces; otherwise overwritten by routed results.
+    res_r = jnp.where(alive_w, tp_r, res_r)
+    res_g = jnp.where(alive_w, tp_g, res_g)
+    res_b = jnp.where(alive_w, tp_b, res_b)
+
+    # per-row exclusive prefix sums -> pack distances
+    incl = alive_i
+    s = 1
+    while s < w:
+        incl = incl + jnp.where(lane >= s, _roll_r(incl, s), 0)
+        s *= 2
+    rank = incl - alive_i
+    move = jnp.where(alive_w, lane - rank, 0)  # dead lanes before me
+
+    st_i = pltpu.bitcast(st, jnp.int32)
+    payload = [ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b, st_i,
+               lane]  # + this-space lane id for the inverse distances
+    active = alive_i
+    b = 1
+    while b < w:
+        src_move = _roll_l(move, b)
+        src_active = _roll_l(active, b)
+        recv = (lane + b < w) & (src_active != 0) & ((src_move & b) != 0)
+        moved_out = (active != 0) & ((move & b) != 0)
+        vacated = moved_out & ~recv
+        payload = [jnp.where(recv, _roll_l(p, b), p) for p in payload]
+        move = jnp.where(recv, src_move, move)
+        active = jnp.where(vacated, 0, jnp.where(recv, 1, active))
+        b *= 2
+
+    row_cnt = jnp.sum(alive_i, axis=1, keepdims=True)  # pre-pack counts
+    n_alive = (lane[:, :nw] < row_cnt).astype(jnp.int32)
+    n = [p[:, :nw] for p in payload[:10]]
+    zero_n = jnp.zeros_like(n[0])
+    narrow_carry = (
+        seg, n[0], n[1], n[2], n[3], n[4], n[5], n[6], n[7], n[8],
+        zero_n, zero_n, zero_n, n_alive,
+        pltpu.bitcast(n[9], jnp.uint32),
+    )
+    info = (alive_w, res_r, res_g, res_b, row_cnt, payload[10], lane, w)
+    return narrow_carry, info
+
+
+def _unpack_stage(nres, info):
+    """Inverse routing (bits MSB->LSB): packed results back to their
+    original lanes of this stage's space, merged over the pre-pack
+    results."""
+    nres_r, nres_g, nres_b = nres
+    alive_w, res_r, res_g, res_b, row_cnt, ids, lane, w = info
+    nw = nres_r.shape[1]
+    pad = jnp.zeros((nres_r.shape[0], w - nw), jnp.float32)
+    r_r = jnp.concatenate([nres_r, pad], axis=1)
+    r_g = jnp.concatenate([nres_g, pad], axis=1)
+    r_b = jnp.concatenate([nres_b, pad], axis=1)
+    b_active = (lane < row_cnt).astype(jnp.int32)
+    dist = jnp.where(b_active != 0, ids - lane, 0)
+    b = w // 2
+    while b >= 1:
+        src_dist = _roll_r(dist, b)
+        src_active = _roll_r(b_active, b)
+        recv = (lane >= b) & (src_active != 0) & ((src_dist & b) != 0)
+        moved_out = (b_active != 0) & ((dist & b) != 0)
+        vacated = moved_out & ~recv
+        r_r = jnp.where(recv, _roll_r(r_r, b), r_r)
+        r_g = jnp.where(recv, _roll_r(r_g, b), r_g)
+        r_b = jnp.where(recv, _roll_r(r_b, b), r_b)
+        dist = jnp.where(recv, src_dist - b, dist)
+        b_active = jnp.where(vacated, 0, jnp.where(recv, 1, b_active))
+        b //= 2
+    return (
+        jnp.where(alive_w, r_r, res_r),
+        jnp.where(alive_w, r_g, res_g),
+        jnp.where(alive_w, r_b, res_b),
+    )
+
+
+def _run_with_compaction(cond, body, init):
+    """Bounce loop with a cascade of in-register survivor compactions.
+
+    The SIMD tail problem: survivors spread uniformly over the tile, so a
+    (8, W) tile keeps paying full-width segment cost until its *last* lane
+    dies (~max_bounces segments) although the mean path length is ~4.
+    Per-tile early exit, finer tiles and XLA-side compaction all fail this
+    statistically or cost more than they save.
+
+    Fix: whenever every row's alive count fits in the next narrower width
+    (W/2, W/4, ... down to _NARROW_W), left-pack survivors within each row
+    and continue on the narrow slice at proportionally lower per-segment
+    cost; finally inverse-route results back out through each packing.
+    Rays carry their PCG state, so results are bit-identical to the
+    uncompacted loop.
+    """
+    wide_w = init[1].shape[1]
+    widths = []
+    w = wide_w // 2
+    while w >= _NARROW_W:
+        widths.append(w)
+        w //= 2
+
+    cur = init
+    infos = []
+    for nw in widths:
+        def stage_cond(c, nw=nw):
+            row_max = jnp.max(jnp.sum(c[13], axis=1))
+            return cond(c) & (row_max > nw)
+
+        cur = jax.lax.while_loop(stage_cond, body, cur)
+        cur, info = _pack_stage(cur, nw)
+        infos.append(info)
+
+    final = jax.lax.while_loop(cond, body, cur)
+    (_, _, _, _, _, _, _,
+     tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_f, _) = final
+    surv = alive_f != 0
+    res_r = jnp.where(surv, tp_r, res_r)
+    res_g = jnp.where(surv, tp_g, res_g)
+    res_b = jnp.where(surv, tp_b, res_b)
+
+    res = (res_r, res_g, res_b)
+    for info in reversed(infos):
+        res = _unpack_stage(res, info)
+    return res
+
+
 def _sky(dx, dy, dz):
     up_r = (1.0 - dy) * 1.0 + dy * 0.25
     up_g = (1.0 - dy) * 1.0 + dy * 0.5
@@ -169,7 +439,7 @@ def _sky(dx, dy, dz):
     )
 
 
-def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, out_r, out_g, out_b, *, cfg, num_tris):
+def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, out_r, out_g, out_b, *, cfg, num_tris, pairs):
     cam_x, cam_y, cam_z = fparams_ref[0], fparams_ref[1], fparams_ref[2]
     lx, ly, lz = fparams_ref[3], fparams_ref[4], fparams_ref[5]
     hdr_r, hdr_g, hdr_b = fparams_ref[6], fparams_ref[7], fparams_ref[8]
@@ -252,11 +522,18 @@ def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, out_r, out_g, 
                  tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_c, st) = c
                 alive = alive_c != 0
 
-                best_t, hit, (bnx, bny, bnz), (bar, bag, bab) = (
-                    _nearest_hit_unrolled(
-                        tri_ref, num_tris, ox, oy, oz, dx, dy, dz, cfg
+                if pairs:
+                    best_t, hit, (bnx, bny, bnz), (bar, bag, bab) = (
+                        _nearest_hit_pairs(
+                            tri_ref, num_tris, ox, oy, oz, dx, dy, dz, cfg
+                        )
                     )
-                )
+                else:
+                    best_t, hit, (bnx, bny, bnz), (bar, bag, bab) = (
+                        _nearest_hit_unrolled(
+                            tri_ref, num_tris, ox, oy, oz, dx, dy, dz, cfg
+                        )
+                    )
 
                 # --- sphere light, checked first (raytrace:226-235) ---
                 ocx, ocy, ocz = ox - lx, oy - ly, oz - lz
@@ -323,14 +600,24 @@ def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, out_r, out_g, 
 
             init = (jnp.int32(0), ox, oy, oz, ddx, ddy, ddz,
                     tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_i, state)
-            final = jax.lax.while_loop(cond, body, init)
-            (_, _, _, _, _, _, _,
-             tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_i, _) = final
-            # fall-through: surviving paths keep bare throughput (raytrace:270)
-            survived = alive_i != 0
-            res_r = jnp.where(survived, tp_r, res_r)
-            res_g = jnp.where(survived, tp_g, res_g)
-            res_b = jnp.where(survived, tp_b, res_b)
+
+            compact = (
+                cfg.bounce_compaction
+                and TILE_W >= 4 * _NARROW_W
+                and cfg.max_bounces > 4
+            )
+            if not compact:
+                final = jax.lax.while_loop(cond, body, init)
+                (_, _, _, _, _, _, _,
+                 tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_i, _) = final
+                # fall-through: surviving paths keep bare throughput
+                # (raytrace.comp.glsl:270)
+                survived = alive_i != 0
+                res_r = jnp.where(survived, tp_r, res_r)
+                res_g = jnp.where(survived, tp_g, res_g)
+                res_b = jnp.where(survived, tp_b, res_b)
+            else:
+                res_r, res_g, res_b = _run_with_compaction(cond, body, init)
             acc_r = acc_r + res_r
             acc_g = acc_g + res_g
             acc_b = acc_b + res_b
@@ -421,7 +708,7 @@ def visibility_pass_pallas(
 
     if rotation is None:
         rotation = jnp.eye(3, dtype=jnp.float32)
-    mat = proj @ view
+    mat = jnp.matmul(proj, view, precision=jax.lax.Precision.HIGHEST)
     fparams = jnp.concatenate(
         [
             jnp.asarray(camera_pos, jnp.float32).reshape(3),
@@ -462,10 +749,19 @@ def path_trace_pass_pallas(
 ):
     """Pallas drop-in for ops.pathtrace.path_trace_pass (same signature +
     semantics). Returns (rows, W, 3) radiance, or the three (rows, W)
-    channel planes when ``planar`` (saves a 25 MB stack copy at 1080p)."""
+    channel planes when ``planar`` (saves a 25 MB stack copy at 1080p).
+
+    Uses the merged coplanar-pair table when TriangleData carries one
+    (pack_shading_pairs); falls back to per-triangle tests otherwise."""
     h = cfg.height if rows is None else rows
     w = cfg.width
-    tri_table = pack_triangles(tri_data)
+    pair_table = getattr(tri_data, "pair_table", None)
+    if pair_table is not None:
+        tri_table = pair_table
+        pairs = True
+    else:
+        tri_table = pack_triangles(tri_data)
+        pairs = False
     num_tris = int(tri_table.shape[0])
 
     if rotation is None:
@@ -485,7 +781,9 @@ def path_trace_pass_pallas(
     ).reshape(1)
 
     grid = (pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
-    kernel = functools.partial(_trace_kernel, cfg=cfg, num_tris=num_tris)
+    kernel = functools.partial(
+        _trace_kernel, cfg=cfg, num_tris=num_tris, pairs=pairs
+    )
     out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3
     r, g, b = pl.pallas_call(
         kernel,

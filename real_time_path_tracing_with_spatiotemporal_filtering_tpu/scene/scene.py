@@ -10,6 +10,7 @@ LUT (slot 0 reserved for background, visibility.geom.glsl:32-35).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -138,6 +139,10 @@ class TriangleData:
     albedo: jnp.ndarray        # (T, 3) hardcoded material (raytrace:155-163)
     lut: jnp.ndarray           # (T+1, 3, 3) visibility LUT
     lut_normals: jnp.ndarray   # (T+1, 3) filter normals w/ background slot
+    # (P, 26) merged coplanar-pair table for the Pallas bounce loop
+    # (ops/pallas/pathtrace.pack_shading_pairs); None when built under
+    # tracing (pairing is a host-side decision).
+    pair_table: jnp.ndarray | None = None
 
 
 def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
@@ -161,10 +166,26 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
     lut = jnp.concatenate([jnp.zeros((1, 3, 3), tris.dtype), tris], axis=0)
     background_normal = jnp.array([[0.0, 0.0, 1.0]], jnp.float32)
     lut_normals = jnp.concatenate([background_normal, normals], axis=0)
+    td = TriangleData(
+        planes=planes,
+        normals=normals,
+        albedo=albedo,
+        lut=lut,
+        lut_normals=lut_normals,
+    )
+    try:
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+            pack_shading_pairs,
+        )
+
+        pair_table = jnp.asarray(pack_shading_pairs(td))
+    except jax.errors.TracerArrayConversionError:
+        pair_table = None  # traced geometry: pairing needs concrete data
     return TriangleData(
         planes=planes,
         normals=normals,
         albedo=albedo,
         lut=lut,
         lut_normals=lut_normals,
+        pair_table=pair_table,
     )
