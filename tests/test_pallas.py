@@ -135,3 +135,19 @@ def test_pallas_frame_matches_xla_frame(cornell_tri_data):
         )
     diff = np.abs(np.asarray(rgb_x) - np.asarray(rgb_p))
     assert diff.max() < 1e-3
+
+
+def test_pallas_frame_odd_resolution(cornell_tri_data):
+    """Non-tile-aligned sizes: path trace pads, a-trous falls back to XLA
+    when rows aren't slab-aligned; results must match the XLA frame."""
+    cfg_p = dataclasses.replace(
+        CFG, width=101, height=75, backend="pallas", wavelet_iterations=3,
+        max_bounces=6,
+    )
+    cfg_x = dataclasses.replace(cfg_p, backend="xla")
+    cam, light = Camera.default(), Light.default()
+    hist_p = frame_mod.init_history(cornell_tri_data, cfg_p)
+    hist_x = frame_mod.init_history(cornell_tri_data, cfg_x)
+    rgb_p, _ = frame_mod.render_frame_impl(cornell_tri_data, cam, light, hist_p, cfg_p)
+    rgb_x, _ = frame_mod.render_frame_impl(cornell_tri_data, cam, light, hist_x, cfg_x)
+    assert np.abs(np.asarray(rgb_p) - np.asarray(rgb_x)).max() < 1e-3
