@@ -102,7 +102,7 @@ def _iter_kernel(cr, cg, cb, nx, ny, nz, dd, out_r, out_g, out_b,
 
 
 def _pad_plane(x, padded_w):
-    h, w = x.shape
+    w = x.shape[1]
     return jnp.pad(
         x,
         ((PAD_ROWS, PAD_ROWS), (PAD_COLS, padded_w - w - PAD_COLS)),

@@ -155,7 +155,6 @@ def _nearest_hit_unrolled(
     loop body is ~T times smaller with identical numerics -- first-minimal
     tie-breaking preserved.) ``track_prim`` also returns the committed
     primID+1 as float (0 = miss), for the G-buffer."""
-    eps = jnp.float32(cfg.intersect_eps)
     t_max = jnp.float32(cfg.t_max)
     big = t_max * jnp.float32(2.0)
 
@@ -163,7 +162,6 @@ def _nearest_hit_unrolled(
         # hit carried as int32: Mosaic cannot legalize i1 vectors in
         # scf.for/scf.while carries.
         best_t, hit_i, bnx, bny, bnz, bar, bag, bab, vis = s
-        v0x, v0y, v0z = tri_ref[t, 0], tri_ref[t, 1], tri_ref[t, 2]
         nx, ny, nz = tri_ref[t, 3], tri_ref[t, 4], tri_ref[t, 5]
         d0 = tri_ref[t, 6]
         n1x, n1y, n1z, d1 = tri_ref[t, 7], tri_ref[t, 8], tri_ref[t, 9], tri_ref[t, 10]

@@ -74,7 +74,7 @@ class Renderer:
     # --- checkpoint / resume -------------------------------------------
     def save_state(self, path: str) -> None:
         """Serialize history + camera/light to an .npz (exact resume)."""
-        leaves, treedef = jax.tree_util.tree_flatten(
+        leaves = jax.tree_util.tree_leaves(
             (self.history, self.camera, self.light)
         )
         np.savez(

@@ -239,11 +239,9 @@ def traverse(
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
-    n = o.shape[0]
     num_leaves = bvh.num_leaves
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
 
-    tris_v0 = planes.v0[bvh.leaf_prim]
     tris_n = planes.n[bvh.leaf_prim]
     tris_d0 = planes.d0[bvh.leaf_prim]
     tris_n1 = planes.n1[bvh.leaf_prim]

@@ -98,8 +98,6 @@ def deduplicate_positions(
     """
     seen: dict[tuple[float, float, float], int] = {}
     new_vertices: list[np.ndarray] = []
-    remap = np.empty(len(vertices), np.int32)
-    used = np.zeros(len(vertices), bool)
     flat = indices.reshape(-1)
     out = np.empty_like(flat)
     for i, vi in enumerate(flat):
@@ -108,8 +106,6 @@ def deduplicate_positions(
             seen[key] = len(new_vertices)
             new_vertices.append(vertices[vi])
         out[i] = seen[key]
-        used[vi] = True
-        remap[vi] = seen[key]
     return (
         np.asarray(new_vertices, np.float32).reshape(-1, 3),
         out.reshape(indices.shape).astype(np.int32),
