@@ -143,6 +143,9 @@ class TriangleData:
     # (ops/pallas/pathtrace.pack_shading_pairs); None when built under
     # tracing (pairing is a host-side decision).
     pair_table: jnp.ndarray | None = None
+    # (C, 6) Morton-cluster AABBs over the pairs (whole-tile cull in the
+    # bounce loop); None for small scenes or under tracing.
+    cluster_aabbs: jnp.ndarray | None = None
 
 
 def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
@@ -175,12 +178,24 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
     )
     try:
         from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+            CLUSTER_MIN_PAIRS,
+            build_clusters,
+            cluster_size_for,
             pack_shading_pairs,
         )
 
-        pair_table = jnp.asarray(pack_shading_pairs(td))
+        table, pair_order = pack_shading_pairs(td)
+        pair_table = jnp.asarray(table)
+        cluster_aabbs = (
+            jnp.asarray(
+                build_clusters(td, pair_order, cluster_size_for(len(pair_order)))
+            )
+            if len(pair_order) >= CLUSTER_MIN_PAIRS
+            else None
+        )
     except jax.errors.TracerArrayConversionError:
         pair_table = None  # traced geometry: pairing needs concrete data
+        cluster_aabbs = None
     return TriangleData(
         planes=planes,
         normals=normals,
@@ -188,4 +203,5 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
         lut=lut,
         lut_normals=lut_normals,
         pair_table=pair_table,
+        cluster_aabbs=cluster_aabbs,
     )

@@ -151,3 +151,30 @@ def test_pallas_frame_odd_resolution(cornell_tri_data):
     rgb_p, _ = frame_mod.render_frame_impl(cornell_tri_data, cam, light, hist_p, cfg_p)
     rgb_x, _ = frame_mod.render_frame_impl(cornell_tri_data, cam, light, hist_x, cfg_x)
     assert np.abs(np.asarray(rgb_p) - np.asarray(rgb_x)).max() < 1e-3
+
+
+def test_clustered_pathtrace_matches_xla():
+    """Scenes above CLUSTER_MIN_PAIRS use Morton-cluster AABB culling in
+    the bounce loop; results must match the flat XLA tracer."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = dataclasses.replace(CFG, max_bounces=6)
+    scene = Scene.from_arrays(*procedural.subdivided_cornell(2))
+    td = precompute_triangle_data(scene)
+    assert td.cluster_aabbs is not None  # clustering active
+    cam, light = Camera.default(), Light.default()
+    ref = np.asarray(
+        pathtrace.path_trace_pass(td, cam.position, light, jnp.int32(2), cfg)
+    )
+    pal = np.asarray(
+        path_trace_pass_pallas(
+            td, cam.position, light, jnp.int32(2), cfg, interpret=True
+        )
+    )
+    assert np.abs(ref - pal).max() < 1e-3
