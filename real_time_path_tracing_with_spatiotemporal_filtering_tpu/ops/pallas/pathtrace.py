@@ -147,7 +147,63 @@ def pack_shading_pairs(tri_data) -> "np.ndarray":
     return np.asarray(rows, np.float32), pair_order
 
 
-CLUSTER_MIN_PAIRS = 32  # below this, flat iteration is cheaper
+CLUSTER_MIN_PAIRS = 32   # below this, flat iteration is cheaper
+SUPER_MIN_CLUSTERS = 16  # second hierarchy level kicks in here
+
+# The scene tables live in SMEM; beyond this they fail to compile
+# (observed: 113 KB ok, 433 KB rejected on v5e). Larger scenes fall back
+# to the XLA formulation until a streaming (HBM + prefetch) table design
+# lands.
+MAX_SMEM_TABLE_BYTES = 128 * 1024
+
+
+def pallas_scene_supported(tri_data) -> bool:
+    """True when the scene's SMEM tables fit the Pallas kernels."""
+    num_tris = int(tri_data.normals.shape[0])
+    tri_bytes = num_tris * (TRI_COLS + 9) * 4  # geometry kernel table
+    pair_table = getattr(tri_data, "pair_table", None)
+    if pair_table is not None:
+        tri_bytes = max(tri_bytes, int(pair_table.shape[0]) * PAIR_COLS * 4)
+    return tri_bytes <= MAX_SMEM_TABLE_BYTES
+
+
+def hierarchy_sizes(num_pairs: int) -> tuple[int, int, int, int]:
+    """(csize, num_clusters, ssize, num_supers); zeros when a level is
+    absent. Must be the single source of truth for packing AND kernel
+    wiring (padding depends on it)."""
+    if num_pairs < CLUSTER_MIN_PAIRS:
+        return 0, 0, 0, 0
+    cs = cluster_size_for(num_pairs)
+    c = -(-num_pairs // cs)
+    if c >= SUPER_MIN_CLUSTERS:
+        ss = cluster_size_for(c)
+        s = -(-c // ss)
+        return cs, s * ss, ss, s  # cluster count padded to the super grid
+    return cs, c, 0, 0
+
+
+def build_hierarchy(tri_data, pair_order):
+    """(cluster_aabbs, super_aabbs | None) for Morton-ordered pairs.
+
+    Cluster rows beyond the real count are degenerate (+inf/-inf) boxes
+    that never pass the slab test."""
+    cs, c_padded, ss, s = hierarchy_sizes(len(pair_order))
+    if cs == 0:
+        return None, None
+    caabb = build_clusters(tri_data, pair_order, cs)
+    if s == 0:
+        return caabb, None
+    pad = c_padded - caabb.shape[0]
+    if pad:
+        degenerate = np.tile(
+            np.array([1e30] * 3 + [-1e30] * 3, np.float32), (pad, 1)
+        )
+        caabb = np.concatenate([caabb, degenerate], axis=0)
+    grouped = caabb.reshape(s, ss, 6)
+    saabb = np.concatenate(
+        [grouped[:, :, :3].min(axis=1), grouped[:, :, 3:].max(axis=1)], axis=1
+    )
+    return caabb, saabb.astype(np.float32)
 
 
 def cluster_size_for(num_pairs: int) -> int:
@@ -487,13 +543,17 @@ def _pair_test(pair_ref, t, ox, oy, oz, dx, dy, dz, state, cfg):
 
 
 def _nearest_hit_clustered(
-    pair_ref, caabb_ref, num_clusters, csize,
+    pair_ref, caabb_ref, saabb_ref, num_clusters, csize, num_supers, ssize,
     ox, oy, oz, dx, dy, dz, alive, cfg,
 ):
-    """Closest-hit over Morton clusters of merged pairs: per cluster, a
-    whole-tile slab test against the cluster AABB skips its pairs entirely
-    when no live lane's ray can improve on the current best hit. Composes
-    with lane compaction (narrow tiles carry fewer rays -> more skips)."""
+    """Closest-hit over a 2-level Morton hierarchy of merged pairs.
+
+    Per supercluster and per cluster, a whole-tile slab test against the
+    AABB skips the subtree entirely when no live lane's ray can improve on
+    its current best hit (in-kernel lax.cond). Composes with lane
+    compaction (narrow tiles carry fewer rays -> more skips). With
+    ``num_supers`` == 0 the outer level is absent.
+    """
     t_max = jnp.float32(cfg.t_max)
     big = t_max * jnp.float32(2.0)
     tiny = jnp.float32(1e-12)
@@ -501,10 +561,9 @@ def _nearest_hit_clustered(
     inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny, tiny, dy)
     inv_dz = 1.0 / jnp.where(jnp.abs(dz) < tiny, tiny, dz)
 
-    def cluster_body(c, s):
-        best_t = s[0]
-        lox, loy, loz = caabb_ref[c, 0], caabb_ref[c, 1], caabb_ref[c, 2]
-        hix, hiy, hiz = caabb_ref[c, 3], caabb_ref[c, 4], caabb_ref[c, 5]
+    def box_near(aabb_ref, c, best_t):
+        lox, loy, loz = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
+        hix, hiy, hiz = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
         tx0 = (lox - ox) * inv_dx
         tx1 = (hix - ox) * inv_dx
         ty0 = (loy - oy) * inv_dy
@@ -519,7 +578,10 @@ def _nearest_hit_clustered(
             jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
             jnp.maximum(tz0, tz1),
         )
-        near = alive & (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best_t)
+        return alive & (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best_t)
+
+    def cluster_body(c, s):
+        near = box_near(caabb_ref, c, s[0])
 
         def run(s):
             def pair_body(j, s2):
@@ -538,9 +600,23 @@ def _nearest_hit_clustered(
         jnp.zeros_like(ox, dtype=jnp.int32),
         zero, zero, zero, zero, zero, zero,
     )
-    best_t, hit_i, bnx, bny, bnz, bar, bag, bab = jax.lax.fori_loop(
-        0, num_clusters, cluster_body, init
-    )
+
+    if num_supers:
+        def super_body(g, s):
+            near = box_near(saabb_ref, g, s[0])
+
+            def run(s):
+                def inner(cj, s2):
+                    return cluster_body(g * ssize + cj, s2)
+
+                return jax.lax.fori_loop(0, ssize, inner, s)
+
+            return jax.lax.cond(jnp.any(near), run, lambda s2: s2, s)
+
+        out = jax.lax.fori_loop(0, num_supers, super_body, init)
+    else:
+        out = jax.lax.fori_loop(0, num_clusters, cluster_body, init)
+    best_t, hit_i, bnx, bny, bnz, bar, bag, bab = out
     return best_t, hit_i != 0, (bnx, bny, bnz), (bar, bag, bab)
 
 
@@ -557,7 +633,7 @@ def _sky(dx, dy, dz):
     )
 
 
-def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, caabb_ref, out_r, out_g, out_b, *, cfg, num_tris, pairs, num_clusters, csize):
+def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, caabb_ref, saabb_ref, out_r, out_g, out_b, *, cfg, num_tris, pairs, num_clusters, csize, num_supers, ssize):
     cam_x, cam_y, cam_z = fparams_ref[0], fparams_ref[1], fparams_ref[2]
     lx, ly, lz = fparams_ref[3], fparams_ref[4], fparams_ref[5]
     hdr_r, hdr_g, hdr_b = fparams_ref[6], fparams_ref[7], fparams_ref[8]
@@ -643,7 +719,8 @@ def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, caabb_ref, out
                 if num_clusters:
                     best_t, hit, (bnx, bny, bnz), (bar, bag, bab) = (
                         _nearest_hit_clustered(
-                            tri_ref, caabb_ref, num_clusters, csize,
+                            tri_ref, caabb_ref, saabb_ref,
+                            num_clusters, csize, num_supers, ssize,
                             ox, oy, oz, dx, dy, dz, alive, cfg,
                         )
                     )
@@ -882,14 +959,18 @@ def path_trace_pass_pallas(
     w = cfg.width
     pair_table = getattr(tri_data, "pair_table", None)
     cluster_aabbs = getattr(tri_data, "cluster_aabbs", None)
-    num_clusters = 0
-    csize = 0
+    super_aabbs = getattr(tri_data, "super_aabbs", None)
+    num_clusters = csize = num_supers = ssize = 0
     if pair_table is not None:
         tri_table = pair_table
         pairs = True
         if cluster_aabbs is not None:
-            num_clusters = int(cluster_aabbs.shape[0])
-            csize = cluster_size_for(int(tri_table.shape[0]))
+            csize, num_clusters, ssize, num_supers = hierarchy_sizes(
+                int(tri_table.shape[0])
+            )
+            assert num_clusters == int(cluster_aabbs.shape[0]), (
+                "cluster table inconsistent with hierarchy_sizes"
+            )
             # pad the pair table so every cluster spans csize rows;
             # zero rows self-reject (nd == 0 -> nan t)
             padded = num_clusters * csize
@@ -908,6 +989,8 @@ def path_trace_pass_pallas(
         pairs = False
     if cluster_aabbs is None:
         cluster_aabbs = jnp.zeros((1, 6), jnp.float32)  # unused dummy
+    if super_aabbs is None:
+        super_aabbs = jnp.zeros((1, 6), jnp.float32)  # unused dummy
     num_tris = int(tri_table.shape[0])
 
     if rotation is None:
@@ -930,24 +1013,19 @@ def path_trace_pass_pallas(
     kernel = functools.partial(
         _trace_kernel, cfg=cfg, num_tris=num_tris, pairs=pairs,
         num_clusters=num_clusters, csize=csize,
+        num_supers=num_supers, ssize=ssize,
     )
     out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
         ] * 3,
         out_shape=out_shape,
         interpret=interpret,
-    )(fparams, iparams, uparams, tri_table, cluster_aabbs)
+    )(fparams, iparams, uparams, tri_table, cluster_aabbs, super_aabbs)
     if planar:
         return r, g, b
     return jnp.stack([r, g, b], axis=-1)

@@ -77,7 +77,7 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
 
     frame_idx = history_local.frame
     view, proj = camera_matrices(camera, cfg)
-    use_pallas = _use_pallas(cfg)
+    use_pallas = _use_pallas(cfg, tri_data)
     interpret = jax.default_backend() != "tpu"
     lut = tri_data.lut
 

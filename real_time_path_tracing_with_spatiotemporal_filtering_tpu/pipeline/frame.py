@@ -52,11 +52,18 @@ def camera_matrices(camera, cfg: RenderConfig):
     return view, proj
 
 
-def _use_pallas(cfg: RenderConfig) -> bool:
-    if cfg.backend == "pallas":
-        return True
+def _use_pallas(cfg: RenderConfig, tri_data=None) -> bool:
     if cfg.backend == "xla":
         return False
+    if tri_data is not None:
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+            pallas_scene_supported,
+        )
+
+        if not pallas_scene_supported(tri_data):
+            return False  # SMEM table cap; XLA handles any size
+    if cfg.backend == "pallas":
+        return True
     return jax.default_backend() == "tpu"
 
 
@@ -75,7 +82,7 @@ def render_frame_impl(
     path tracer as a Pallas megakernel; numerics match the XLA formulation
     (tests/test_pallas.py).
     """
-    if _use_pallas(cfg):
+    if _use_pallas(cfg, tri_data):
         return _render_frame_pallas(tri_data, camera, light, history, cfg)
     frame_idx = history.frame
     view, proj = camera_matrices(camera, cfg)

@@ -146,6 +146,8 @@ class TriangleData:
     # (C, 6) Morton-cluster AABBs over the pairs (whole-tile cull in the
     # bounce loop); None for small scenes or under tracing.
     cluster_aabbs: jnp.ndarray | None = None
+    # (S, 6) supercluster AABBs (second cull level for larger scenes).
+    super_aabbs: jnp.ndarray | None = None
 
 
 def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
@@ -178,24 +180,19 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
     )
     try:
         from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
-            CLUSTER_MIN_PAIRS,
-            build_clusters,
-            cluster_size_for,
+            build_hierarchy,
             pack_shading_pairs,
         )
 
         table, pair_order = pack_shading_pairs(td)
         pair_table = jnp.asarray(table)
-        cluster_aabbs = (
-            jnp.asarray(
-                build_clusters(td, pair_order, cluster_size_for(len(pair_order)))
-            )
-            if len(pair_order) >= CLUSTER_MIN_PAIRS
-            else None
-        )
+        caabb, saabb = build_hierarchy(td, pair_order)
+        cluster_aabbs = None if caabb is None else jnp.asarray(caabb)
+        super_aabbs = None if saabb is None else jnp.asarray(saabb)
     except jax.errors.TracerArrayConversionError:
         pair_table = None  # traced geometry: pairing needs concrete data
         cluster_aabbs = None
+        super_aabbs = None
     return TriangleData(
         planes=planes,
         normals=normals,
@@ -204,4 +201,5 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
         lut_normals=lut_normals,
         pair_table=pair_table,
         cluster_aabbs=cluster_aabbs,
+        super_aabbs=super_aabbs,
     )

@@ -99,3 +99,37 @@ def test_device_info():
     info = device_info()
     assert info["num_devices"] >= 1
     assert info["backend"] in ("cpu", "tpu", "gpu", "axon")
+
+
+def test_huge_scene_falls_back_to_xla():
+    """Scenes whose SMEM tables exceed the Pallas cap must transparently
+    render on the XLA path (correct on any backend, any size)."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+        pallas_scene_supported,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline import (
+        frame as frame_mod,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    big = Scene.from_arrays(*procedural.subdivided_cornell(16))  # 8192 tris
+    td = precompute_triangle_data(big)
+    assert not pallas_scene_supported(td)
+    cfg = dataclasses.replace(
+        CFG, width=32, height=24, max_bounces=3, wavelet_iterations=3,
+        backend="pallas",  # even when forced, the size guard wins
+    )
+    hist = frame_mod.init_history(td, cfg)
+    rgb, _ = frame_mod.render_frame_impl(
+        td, Camera.default(), Light.default(), hist, cfg
+    )
+    assert np.isfinite(np.asarray(rgb)).all()
+
+    small = precompute_triangle_data(Scene.cornell_box())
+    assert pallas_scene_supported(small)
