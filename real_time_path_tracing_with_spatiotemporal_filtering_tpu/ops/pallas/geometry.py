@@ -297,10 +297,18 @@ def geometry_pass_pallas(
         jax.ShapeDtypeStruct((h, w), f32),        # wy
         jax.ShapeDtypeStruct((h, w), f32),        # wz
     ]
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+        _table_space,
+    )
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [
+            pl.BlockSpec(memory_space=_table_space(num_tris, 30)),
+            pl.BlockSpec(memory_space=_table_space(num_tris, 9)),
+        ],
         out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * 11,
         out_shape=out_shape,
         interpret=interpret,

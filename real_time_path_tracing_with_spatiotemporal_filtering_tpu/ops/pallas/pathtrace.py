@@ -150,21 +150,28 @@ def pack_shading_pairs(tri_data) -> "np.ndarray":
 CLUSTER_MIN_PAIRS = 32   # below this, flat iteration is cheaper
 SUPER_MIN_CLUSTERS = 16  # second hierarchy level kicks in here
 
-# The scene tables live in SMEM; beyond this they fail to compile
-# (observed: 113 KB ok, 433 KB rejected on v5e). Larger scenes fall back
-# to the XLA formulation until a streaming (HBM + prefetch) table design
-# lands.
-MAX_SMEM_TABLE_BYTES = 128 * 1024
+# Scene tables live in SMEM up to this size (observed: 113 KB compiles,
+# 433 KB rejected on v5e); bigger tables are placed in VMEM instead, where
+# dynamic scalar reads cost a few extra ops per access. Beyond the VMEM
+# budget the frame falls back to the XLA formulation.
+MAX_SMEM_TABLE_BYTES = 100 * 1024
+MAX_VMEM_TABLE_BYTES = 12 * 1024 * 1024
+
+
+def _table_space(rows: int, cols: int):
+    if rows * cols * 4 <= MAX_SMEM_TABLE_BYTES:
+        return pltpu.SMEM
+    return pltpu.VMEM
 
 
 def pallas_scene_supported(tri_data) -> bool:
-    """True when the scene's SMEM tables fit the Pallas kernels."""
+    """True when the scene's tables fit on-chip for the Pallas kernels."""
     num_tris = int(tri_data.normals.shape[0])
     tri_bytes = num_tris * (TRI_COLS + 9) * 4  # geometry kernel table
     pair_table = getattr(tri_data, "pair_table", None)
     if pair_table is not None:
         tri_bytes = max(tri_bytes, int(pair_table.shape[0]) * PAIR_COLS * 4)
-    return tri_bytes <= MAX_SMEM_TABLE_BYTES
+    return tri_bytes <= MAX_VMEM_TABLE_BYTES
 
 
 def hierarchy_sizes(num_pairs: int) -> tuple[int, int, int, int]:
@@ -930,7 +937,7 @@ def visibility_pass_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=_table_space(num_tris, TRI_COLS)),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
@@ -1019,7 +1026,9 @@ def path_trace_pass_pallas(
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [pl.BlockSpec(memory_space=_table_space(num_tris, int(tri_table.shape[1])))]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
         ] * 3,

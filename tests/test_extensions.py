@@ -101,9 +101,12 @@ def test_device_info():
     assert info["backend"] in ("cpu", "tpu", "gpu", "axon")
 
 
-def test_huge_scene_falls_back_to_xla():
-    """Scenes whose SMEM tables exceed the Pallas cap must transparently
-    render on the XLA path (correct on any backend, any size)."""
+def test_scene_size_guard_and_xla_fallback():
+    """Mid-size scenes stay on the Pallas path (VMEM tables); scenes beyond
+    the VMEM budget are rejected by the guard and render on the XLA path
+    (correct at any size)."""
+    import types
+
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
         pallas_scene_supported,
     )
@@ -118,18 +121,25 @@ def test_huge_scene_falls_back_to_xla():
         precompute_triangle_data,
     )
 
-    big = Scene.from_arrays(*procedural.subdivided_cornell(16))  # 8192 tris
+    # 8192 triangles: VMEM-table territory, still Pallas-supported
+    big = Scene.from_arrays(*procedural.subdivided_cornell(16))
     td = precompute_triangle_data(big)
-    assert not pallas_scene_supported(td)
+    assert pallas_scene_supported(td)
+
+    # guard arithmetic for a Sponza-plus scene beyond the VMEM budget
+    monster = types.SimpleNamespace(
+        normals=np.zeros((400_000, 3), np.float32),
+        pair_table=np.zeros((200_000, 26), np.float32),
+    )
+    assert not pallas_scene_supported(monster)
+
+    # the XLA path renders the 8192-tri scene correctly on any backend
     cfg = dataclasses.replace(
         CFG, width=32, height=24, max_bounces=3, wavelet_iterations=3,
-        backend="pallas",  # even when forced, the size guard wins
+        backend="xla",
     )
     hist = frame_mod.init_history(td, cfg)
     rgb, _ = frame_mod.render_frame_impl(
         td, Camera.default(), Light.default(), hist, cfg
     )
     assert np.isfinite(np.asarray(rgb)).all()
-
-    small = precompute_triangle_data(Scene.cornell_box())
-    assert pallas_scene_supported(small)
