@@ -152,10 +152,15 @@ SUPER_MIN_CLUSTERS = 16  # second hierarchy level kicks in here
 
 # Scene tables live in SMEM up to this size (observed: 113 KB compiles,
 # 433 KB rejected on v5e); bigger tables are placed in VMEM instead, where
-# dynamic scalar reads cost a few extra ops per access. Beyond the VMEM
-# budget the frame falls back to the XLA formulation.
+# dynamic scalar reads cost a few extra ops per access. A VMEM table row is
+# lane-padded to 128 floats (512 B) regardless of its column count, and
+# Mosaic rejects dynamic-lane reads, so denser packings are not available;
+# the practical cap is therefore ~24k table rows (measured: 17.4k-row
+# tables compile and run, 32.8k hit the 16 MB scoped-vmem limit). Beyond
+# the budget the frame falls back to the XLA formulation.
 MAX_SMEM_TABLE_BYTES = 100 * 1024
 MAX_VMEM_TABLE_BYTES = 12 * 1024 * 1024
+_VMEM_ROW_BYTES = 128 * 4  # lane padding
 
 
 def _table_space(rows: int, cols: int):
@@ -166,12 +171,11 @@ def _table_space(rows: int, cols: int):
 
 def pallas_scene_supported(tri_data) -> bool:
     """True when the scene's tables fit on-chip for the Pallas kernels."""
-    num_tris = int(tri_data.normals.shape[0])
-    tri_bytes = num_tris * (TRI_COLS + 9) * 4  # geometry kernel table
+    rows = int(tri_data.normals.shape[0])  # geometry kernel table rows
     pair_table = getattr(tri_data, "pair_table", None)
     if pair_table is not None:
-        tri_bytes = max(tri_bytes, int(pair_table.shape[0]) * PAIR_COLS * 4)
-    return tri_bytes <= MAX_VMEM_TABLE_BYTES
+        rows = max(rows, int(pair_table.shape[0]))
+    return rows * _VMEM_ROW_BYTES <= MAX_VMEM_TABLE_BYTES
 
 
 def hierarchy_sizes(num_pairs: int) -> tuple[int, int, int, int]:
