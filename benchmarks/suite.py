@@ -55,6 +55,10 @@ def run_suite(quick: bool):
     def cornell(cfg):
         return lambda: ptsf.Renderer(scene, cfg)
 
+    # 0. the reference's exact configuration (1000x800, main.cpp:52-53)
+    cfg0 = ptsf.RenderConfig()
+    results.append(("cornell_1000x800_reference_parity", bench_renderer(cornell(cfg0), frames)))
+
     # 1. spatial-only 512x512 (temporal alpha 1.0 = no history blend)
     cfg1 = ptsf.RenderConfig(width=512, height=512, ema_alpha=1.0)
     results.append(("cornell_512_spatial_only", bench_renderer(cornell(cfg1), frames)))
