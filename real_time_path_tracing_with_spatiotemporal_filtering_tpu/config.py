@@ -32,7 +32,11 @@ class RenderConfig:
 
     # --- path tracing (raytrace.comp.glsl) ---
     spp: int = 1                     # NUM_SAMPLES (raytrace.comp.glsl:306)
-    sample_batches: int = 1          # NUM_SAMPLE_BATCHES (main.cpp:1223)
+    # NUM_SAMPLE_BATCHES (main.cpp:1223). Note: with >1 batch the reference
+    # OVERWRITES the image per batch (its accumulation code is commented
+    # out, raytrace.comp.glsl:348-356); we average batches instead, which
+    # is identical at the default of 1 and the sane extension beyond.
+    sample_batches: int = 1
     max_bounces: int = 32            # loop bound (raytrace.comp.glsl:204)
     aa_sigma: float = 0.375          # Gaussian AA jitter (raytrace:314)
     ray_offset_eps: float = 1e-4     # bounce origin offset (raytrace:250)

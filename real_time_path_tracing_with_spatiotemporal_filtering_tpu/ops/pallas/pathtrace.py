@@ -3,19 +3,28 @@
 The TPU answer to the reference's VK_KHR_ray_query megakernel
 (raytrace.comp.glsl:200-344): one fused kernel per pixel tile that runs the
 whole <=32-segment bounce loop with stream state (origins, directions,
-throughput, PCG RNG) held in vector registers, the triangle tables (plane
-constants, normals, albedos -- 21 scalars/triangle) in SMEM, and a
-``while_loop`` that exits a tile as soon as all its lanes' paths terminate.
-HBM traffic is exactly one radiance write per pixel; everything the XLA
-formulation spilled as (N, T) tables stays on-chip.
+throughput, PCG RNG) held in vector registers and the scene tables on-chip
+(SMEM for small scenes, VMEM beyond the SMEM compile cap). HBM traffic is
+exactly one radiance write per pixel; everything the XLA formulation
+spilled as (N, T) tables stays on-chip.
 
 Pixels map to vector lanes: a tile of (TILE_H, TILE_W) pixels is a stack of
-(8, 128) vregs, the triangle loop is unrolled with per-triangle scalars, so
-every VPU op advances the whole tile at once. Numerics match the XLA path
-op-for-op (same PCG streams, same termination rules, same reference quirks)
-except the committed hit position, computed as o + t*d instead of the
-barycentric recombination (raytrace.comp.glsl:137) -- a ~1e-6 difference
-bounded by the ray-offset epsilon.
+(8, 128) vregs; per-primitive constants are scalar reads, so every VPU op
+advances the whole tile at once. Three mechanisms fight the costs that
+dominate a SIMD path tracer:
+
+  * coplanar fan pairs merge into one shading primitive (shared plane
+    test, two inside-tests) -- pack_shading_pairs;
+  * a two-level Morton AABB hierarchy skips whole primitive groups per
+    tile-segment via in-kernel lax.cond -- _nearest_hit_clustered;
+  * in-register survivor compaction packs live rays into narrower tile
+    slices as paths terminate -- _run_with_compaction.
+
+Numerics match the XLA path op-for-op (same PCG streams, same termination
+rules, same reference quirks) except the committed hit position, computed
+as o + t*d instead of the barycentric recombination
+(raytrace.comp.glsl:137) -- a ~1e-6 difference bounded by the ray-offset
+epsilon.
 """
 
 from __future__ import annotations

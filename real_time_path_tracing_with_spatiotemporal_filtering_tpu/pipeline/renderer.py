@@ -72,22 +72,39 @@ class Renderer:
         return int(self.history.frame)
 
     # --- checkpoint / resume -------------------------------------------
+    _STATE_VERSION = 1
+
     def save_state(self, path: str) -> None:
         """Serialize history + camera/light to an .npz (exact resume)."""
         leaves = jax.tree_util.tree_leaves(
             (self.history, self.camera, self.light)
         )
         np.savez(
-            path, *[np.asarray(leaf) for leaf in leaves], _num_leaves=len(leaves)
+            path,
+            *[np.asarray(leaf) for leaf in leaves],
+            _num_leaves=len(leaves),
+            _version=self._STATE_VERSION,
         )
 
     def load_state(self, path: str) -> None:
         with np.load(path) as data:
+            version = int(data["_version"]) if "_version" in data else 0
+            if version != self._STATE_VERSION:
+                raise ValueError(
+                    f"checkpoint version {version} != {self._STATE_VERSION}; "
+                    "re-render or migrate the state file"
+                )
             n = int(data["_num_leaves"])
             leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(n)]
         _, treedef = jax.tree_util.tree_flatten(
             (self.history, self.camera, self.light)
         )
+        if len(leaves) != treedef.num_leaves:
+            raise ValueError(
+                "checkpoint does not match this renderer's state structure "
+                f"({len(leaves)} leaves vs {treedef.num_leaves}); was it "
+                "saved with a different scene/config?"
+            )
         self.history, self.camera, self.light = jax.tree_util.tree_unflatten(
             treedef, leaves
         )
