@@ -5,6 +5,9 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.config import (
+    RenderConfig,
+)
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import atrous
 
 
@@ -110,3 +113,47 @@ def test_shift_clamped_semantics():
         for x in range(4):
             expect[y, x] = base[max(y - 2, 0), max(x - 1, 0)]
     np.testing.assert_array_equal(out2, expect)
+
+
+def test_temporal_accumulate_at_blend_math():
+    """EMA blend weights, fixed and gradient-driven adaptive alpha
+    (temporalFiltering.comp.glsl:243-254 and the wired :246-248)."""
+    import jax.numpy as jnp
+
+    h, w = 8, 8
+    filtered = jnp.full((h, w, 3), 1.0)
+    prev = jnp.zeros((h, w, 3))
+    own_y = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w)).astype(jnp.int32)
+    own_x = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w)).astype(jnp.int32)
+    lam = jnp.full((h, w), 0.5)
+
+    cfg = dataclasses.replace(RenderConfig(width=w, height=h), adaptive_alpha=False)
+    out = atrous.temporal_accumulate_at(
+        filtered, prev, own_y, own_x, jnp.int32(1), lam, cfg
+    )
+    # fixed alpha: 0.3 * filtered + 0.7 * prev = 0.3
+    np.testing.assert_allclose(np.asarray(out), 0.3, rtol=1e-6)
+
+    cfg_a = dataclasses.replace(cfg, adaptive_alpha=True)
+    out_a = atrous.temporal_accumulate_at(
+        filtered, prev, own_y, own_x, jnp.int32(1), lam, cfg_a
+    )
+    # adaptive: alpha' = (1 - 0.5)*0.3 + 0.5 = 0.65
+    np.testing.assert_allclose(np.asarray(out_a), 0.65, rtol=1e-6)
+
+    # frame 0 skips blending entirely
+    out0 = atrous.temporal_accumulate_at(
+        filtered, prev, own_y, own_x, jnp.int32(0), lam, cfg
+    )
+    np.testing.assert_allclose(np.asarray(out0), 1.0, rtol=1e-6)
+
+    # misaligned indices take the gather branch: prev pixel (0,0) everywhere
+    py = jnp.zeros((h, w), jnp.int32)
+    px = jnp.zeros((h, w), jnp.int32)
+    prev2 = prev.at[0, 0].set(jnp.array([1.0, 0.0, 0.0]))
+    out_g = atrous.temporal_accumulate_at(
+        filtered, prev2, py, px, jnp.int32(1), lam, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_g)[3, 3], [0.3 + 0.7, 0.3, 0.3], rtol=1e-6
+    )
