@@ -11,7 +11,6 @@ Run: python -m benchmarks.quality [--spp 1024] [--size 256]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 

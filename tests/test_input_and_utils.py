@@ -97,3 +97,14 @@ def test_time_fn_and_timer():
     timer.tick()
     assert timer.ms_per_frame >= 0.0
     assert timer.fps > 0.0
+
+
+def test_ansi_preview():
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.viewer import (
+        ansi_preview,
+    )
+
+    img = np.random.default_rng(0).uniform(0, 1, (32, 48, 3)).astype(np.float32)
+    s = ansi_preview(img, 40, 10)
+    assert s.count("\n") + 1 <= 10
+    assert "\x1b[38;2" in s and s.endswith("\x1b[0m")
