@@ -49,3 +49,12 @@ def force_cpu() -> None:
     """Force the CPU backend (must run before first backend use); the
     env var alone is overridden by the container's sitecustomize."""
     jax.config.update("jax_platforms", "cpu")
+
+
+def enable_validation(enabled: bool = True) -> None:
+    """The Vulkan validation-layer analogue (context.cpp:807-808 enables
+    VK_LAYER_KHRONOS_validation in debug builds): turn on JAX's NaN/Inf
+    checking so any non-finite value raises at the producing op instead of
+    propagating into the image. Costs a sync per op -- debug only."""
+    jax.config.update("jax_debug_nans", enabled)
+    jax.config.update("jax_debug_infs", enabled)

@@ -108,3 +108,21 @@ def test_ansi_preview():
     s = ansi_preview(img, 40, 10)
     assert s.count("\n") + 1 <= 10
     assert "\x1b[38;2" in s and s.endswith("\x1b[0m")
+
+
+def test_enable_validation_toggles():
+    import jax
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.utils.device import (
+        enable_validation,
+    )
+
+    try:
+        enable_validation(True)
+        assert jax.config.jax_debug_nans
+        # a clean computation passes under validation
+        out = jax.jit(lambda x: x * 2.0)(jnp.ones(8))
+        assert float(out.sum()) == 16.0
+    finally:
+        enable_validation(False)
+    assert not jax.config.jax_debug_nans
