@@ -35,6 +35,9 @@ def main() -> None:
     parser.add_argument("--save-every", type=int, default=1)
     parser.add_argument("--move-camera", type=float, nargs=3, default=None,
                         metavar=("DX", "DY", "DZ"), help="per-frame camera delta")
+    parser.add_argument("--orbit-camera", type=float, default=0.0,
+                        help="per-frame orbit azimuth delta in radians "
+                             "(extension: the reference camera never rotates)")
     parser.add_argument("--orbit-light", type=float, default=0.0,
                         help="per-frame light x delta (wraps like the reference)")
     parser.add_argument("--checkpoint", default=None, help="state .npz to save at end")
@@ -81,6 +84,14 @@ def main() -> None:
     for i in range(args.frames):
         if args.move_camera:
             renderer.move_camera(*args.move_camera)
+        if args.orbit_camera:
+            from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+                Camera,
+            )
+
+            renderer.camera = Camera.orbit(
+                [0.0, 1.0, 0.0], 6.0, args.orbit_camera * i, 1.0
+            )
         if args.orbit_light:
             renderer.move_light(dx=args.orbit_light)
         rgb = renderer.step()
