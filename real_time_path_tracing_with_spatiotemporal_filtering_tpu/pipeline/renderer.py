@@ -71,6 +71,11 @@ class Renderer:
     def frame_count(self) -> int:
         return int(self.history.frame)
 
+    def reset(self) -> None:
+        """Restart temporal history (the reference's only equivalent is
+        relaunching the app; frame 0 then skips blending again)."""
+        self.history = frame_mod.init_history(self.tri_data, self.cfg)
+
     # --- checkpoint / resume -------------------------------------------
     _STATE_VERSION = 1
 

@@ -122,3 +122,16 @@ def test_adaptive_alpha_config_compiles(cornell_tri_data):
         cornell_tri_data, Camera.default(), Light.default(), hist, cfg
     )
     assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_renderer_reset():
+    r = Renderer(Scene.cornell_box(), CFG)
+    r.step()
+    r.step()
+    assert r.frame_count == 2
+    first_run_frame0 = None
+    r2 = Renderer(Scene.cornell_box(), CFG)
+    first_run_frame0 = np.asarray(r2.step())
+    r.reset()
+    assert r.frame_count == 0
+    np.testing.assert_array_equal(np.asarray(r.step()), first_run_frame0)
