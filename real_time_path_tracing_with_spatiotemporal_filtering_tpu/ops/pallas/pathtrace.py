@@ -564,7 +564,7 @@ def _pair_test(pair_ref, t, ox, oy, oz, dx, dy, dz, state, cfg):
 
 def _nearest_hit_clustered(
     pair_ref, caabb_ref, saabb_ref, num_clusters, csize, num_supers, ssize,
-    ox, oy, oz, dx, dy, dz, alive, cfg,
+    ox, oy, oz, dx, dy, dz, alive, cfg, scratch=None, sem=None,
 ):
     """Closest-hit over a 2-level Morton hierarchy of merged pairs.
 
@@ -573,6 +573,11 @@ def _nearest_hit_clustered(
     its current best hit (in-kernel lax.cond). Composes with lane
     compaction (narrow tiles carry fewer rays -> more skips). With
     ``num_supers`` == 0 the outer level is absent.
+
+    Streaming mode (``scratch`` given): ``pair_ref`` lives in HBM with rows
+    padded to 128 columns; each *visited* cluster's (csize, 128) block is
+    DMA'd into the VMEM scratch before its pair loop -- removes the on-chip
+    table size cap entirely (docs/DESIGN_ROUND2.md section 1a).
     """
     t_max = jnp.float32(cfg.t_max)
     big = t_max * jnp.float32(2.0)
@@ -604,11 +609,23 @@ def _nearest_hit_clustered(
         near = box_near(caabb_ref, c, s[0])
 
         def run(s):
-            def pair_body(j, s2):
-                return _pair_test(
-                    pair_ref, c * csize + j,
-                    ox, oy, oz, dx, dy, dz, s2, cfg,
+            if scratch is not None:
+                copy = pltpu.make_async_copy(
+                    pair_ref.at[pl.ds(c * csize, csize), :], scratch, sem
                 )
+                copy.start()
+                copy.wait()
+
+                def pair_body(j, s2):
+                    return _pair_test(
+                        scratch, j, ox, oy, oz, dx, dy, dz, s2, cfg
+                    )
+            else:
+                def pair_body(j, s2):
+                    return _pair_test(
+                        pair_ref, c * csize + j,
+                        ox, oy, oz, dx, dy, dz, s2, cfg,
+                    )
 
             return jax.lax.fori_loop(0, csize, pair_body, s)
 
@@ -653,7 +670,9 @@ def _sky(dx, dy, dz):
     )
 
 
-def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, caabb_ref, saabb_ref, out_r, out_g, out_b, *, cfg, num_tris, pairs, num_clusters, csize, num_supers, ssize):
+def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, caabb_ref, saabb_ref, out_r, out_g, out_b, *rest, cfg, num_tris, pairs, num_clusters, csize, num_supers, ssize):
+    # streaming mode appends (pair_scratch, dma_sem) as scratch args
+    scratch, sem = rest if rest else (None, None)
     cam_x, cam_y, cam_z = fparams_ref[0], fparams_ref[1], fparams_ref[2]
     lx, ly, lz = fparams_ref[3], fparams_ref[4], fparams_ref[5]
     hdr_r, hdr_g, hdr_b = fparams_ref[6], fparams_ref[7], fparams_ref[8]
@@ -742,6 +761,7 @@ def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, caabb_ref, saa
                             tri_ref, caabb_ref, saabb_ref,
                             num_clusters, csize, num_supers, ssize,
                             ox, oy, oz, dx, dy, dz, alive, cfg,
+                            scratch=scratch, sem=sem,
                         )
                     )
                 elif pairs:
@@ -968,13 +988,19 @@ def visibility_pass_pallas(
 def path_trace_pass_pallas(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
+    stream_tables=False,
 ):
     """Pallas drop-in for ops.pathtrace.path_trace_pass (same signature +
     semantics). Returns (rows, W, 3) radiance, or the three (rows, W)
     channel planes when ``planar`` (saves a 25 MB stack copy at 1080p).
 
     Uses the merged coplanar-pair table when TriangleData carries one
-    (pack_shading_pairs); falls back to per-triangle tests otherwise."""
+    (pack_shading_pairs); falls back to per-triangle tests otherwise.
+
+    ``stream_tables`` (experimental, requires a clustered scene): keep the
+    pair table in HBM (rows padded to 128 columns for DMA alignment) and
+    stream each visited cluster's block into VMEM scratch -- removes the
+    on-chip table size cap (docs/DESIGN_ROUND2.md section 1a)."""
     h = cfg.height if rows is None else rows
     w = cfg.width
     pair_table = getattr(tri_data, "pair_table", None)
@@ -1036,16 +1062,39 @@ def path_trace_pass_pallas(
         num_supers=num_supers, ssize=ssize,
     )
     out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3
+    if stream_tables:
+        if not num_clusters:
+            raise ValueError("stream_tables requires a clustered scene")
+        # pad columns to 128 (DMA lane-dim alignment) and keep the table in
+        # HBM; a (csize, 128) scratch receives each visited cluster's block
+        tri_table = jnp.concatenate(
+            [
+                tri_table,
+                jnp.zeros((int(tri_table.shape[0]), 128 - PAIR_COLS), jnp.float32),
+            ],
+            axis=1,
+        )
+        table_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch_shapes = [
+            pltpu.VMEM((csize, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        table_spec = pl.BlockSpec(
+            memory_space=_table_space(num_tris, int(tri_table.shape[1]))
+        )
+        scratch_shapes = []
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-        + [pl.BlockSpec(memory_space=_table_space(num_tris, int(tri_table.shape[1])))]
+        + [table_spec]
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
         ] * 3,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(fparams, iparams, uparams, tri_table, cluster_aabbs, super_aabbs)
     if planar:

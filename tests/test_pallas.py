@@ -178,3 +178,33 @@ def test_clustered_pathtrace_matches_xla():
         )
     )
     assert np.abs(ref - pal).max() < 1e-3
+
+
+def test_stream_tables_bitwise_parity():
+    """Experimental streaming mode (HBM tables, per-cluster DMA) must be
+    bit-identical to the on-chip table path."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = dataclasses.replace(CFG, width=48, height=32, max_bounces=5)
+    scene = Scene.from_arrays(*procedural.subdivided_cornell(6))
+    td = precompute_triangle_data(scene)
+    assert td.cluster_aabbs is not None
+    cam, light = Camera.default(), Light.default()
+    ref = np.asarray(
+        path_trace_pass_pallas(
+            td, cam.position, light, jnp.int32(2), cfg, interpret=True
+        )
+    )
+    stm = np.asarray(
+        path_trace_pass_pallas(
+            td, cam.position, light, jnp.int32(2), cfg, interpret=True,
+            stream_tables=True,
+        )
+    )
+    np.testing.assert_array_equal(ref, stm)
