@@ -48,6 +48,8 @@ def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader not built (make -C native)")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"OBJ file not found: {path!r}")
     handle = lib.ptsf_load_obj(path.encode())
     if not handle:
         raise ValueError(f"native loader failed to parse {path!r}")

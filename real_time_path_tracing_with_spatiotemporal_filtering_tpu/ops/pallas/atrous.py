@@ -158,7 +158,7 @@ def atrous_filter_pallas(color, normal, depth, cfg, interpret=False):
         cr, cg, cb = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
             out_specs=[
                 pl.BlockSpec((TILE_ROWS, w), lambda i: (i, 0)),
             ] * 3,

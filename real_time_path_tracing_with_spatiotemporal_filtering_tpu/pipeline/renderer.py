@@ -101,7 +101,7 @@ class Renderer:
                 )
             n = int(data["_num_leaves"])
             leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(n)]
-        _, treedef = jax.tree_util.tree_flatten(
+        cur_leaves, treedef = jax.tree_util.tree_flatten(
             (self.history, self.camera, self.light)
         )
         if len(leaves) != treedef.num_leaves:
@@ -110,6 +110,16 @@ class Renderer:
                 f"({len(leaves)} leaves vs {treedef.num_leaves}); was it "
                 "saved with a different scene/config?"
             )
+        for i, (got, cur) in enumerate(zip(leaves, cur_leaves)):
+            # A checkpoint from a different resolution or scene has the same
+            # leaf COUNT but different leaf shapes; loading it would corrupt
+            # the next step() silently (clipped gather indices under jit).
+            if got.shape != cur.shape or got.dtype != cur.dtype:
+                raise ValueError(
+                    f"checkpoint leaf {i} has shape {got.shape} dtype "
+                    f"{got.dtype}, renderer expects {cur.shape} {cur.dtype}; "
+                    "was it saved with a different scene/resolution?"
+                )
         self.history, self.camera, self.light = jax.tree_util.tree_unflatten(
             treedef, leaves
         )

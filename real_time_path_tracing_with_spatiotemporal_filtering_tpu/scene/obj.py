@@ -24,10 +24,29 @@ import os
 import numpy as np
 
 DEFAULT_SCENE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "scenes",
+    os.path.dirname(os.path.abspath(__file__)),
+    "assets",
     "CornellBox-Original-Merged.obj",
 )
+
+
+def ensure_default_scene() -> str:
+    """Materialize the bundled Cornell Box OBJ and return its path.
+
+    The reference vendors the asset (scenes/CornellBox-Original-Merged.obj,
+    loaded at main.cpp:417). Here the same triangles are synthesized from the
+    procedural generator (verified triangle-exact against the reference OBJ
+    in tests) and written once into the package's assets directory, so
+    ``load_obj()`` with no arguments works out of the box.
+    """
+    if not os.path.exists(DEFAULT_SCENE):
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+            procedural,
+        )
+
+        os.makedirs(os.path.dirname(DEFAULT_SCENE), exist_ok=True)
+        procedural.write_obj(DEFAULT_SCENE, *procedural.cornell_box())
+    return DEFAULT_SCENE
 
 
 def parse_obj(text: str) -> tuple[np.ndarray, np.ndarray]:
@@ -74,7 +93,9 @@ def load_obj(path: str | None = None) -> tuple[np.ndarray, np.ndarray]:
     bundled Cornell Box (the reference's only scene, main.cpp:417).
     """
     if path is None:
-        path = DEFAULT_SCENE
+        path = ensure_default_scene()
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"OBJ file not found: {path!r}")
     try:
         from real_time_path_tracing_with_spatiotemporal_filtering_tpu.native import (
             loader as native_loader,

@@ -32,6 +32,15 @@ def device_info() -> dict[str, Any]:
     if stats:
         info["bytes_limit"] = stats.get("bytes_limit")
         info["bytes_in_use"] = stats.get("bytes_in_use")
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+        MAX_VMEM_TABLE_BYTES,
+        _VMEM_ROW_BYTES,
+    )
+
+    # On-chip table-row budget for the resident Pallas fast path; larger
+    # scenes stream their tables from HBM (stream_tables) or fall back to
+    # the dense XLA formulation.
+    info["pallas_resident_row_cap"] = MAX_VMEM_TABLE_BYTES // _VMEM_ROW_BYTES
     return info
 
 

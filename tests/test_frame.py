@@ -135,3 +135,28 @@ def test_renderer_reset():
     r.reset()
     assert r.frame_count == 0
     np.testing.assert_array_equal(np.asarray(r.step()), first_run_frame0)
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    """A checkpoint saved at a different resolution has the same leaf count
+    but different shapes; loading it must raise, not corrupt the render."""
+    import dataclasses
+
+    import pytest
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.renderer import (
+        Renderer,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+    )
+
+    scene = Scene.cornell_box()
+    r_small = Renderer(scene, dataclasses.replace(CFG, width=32, height=24))
+    r_small.step()
+    path = str(tmp_path / "state.npz")
+    r_small.save_state(path)
+
+    r_big = Renderer(scene, dataclasses.replace(CFG, width=64, height=48))
+    with pytest.raises(ValueError, match="shape"):
+        r_big.load_state(path)
