@@ -89,6 +89,27 @@ def _phong(px_, py_, pz_, nx, ny, nz, cx, cy, cz, lx, ly, lz, lr, lg, lb):
     return out_r, out_g, out_b
 
 
+def _primary_rays(fparams_ref, cfg, gx, gy, rot_base):
+    """Center primary ray per pixel (unified tracer camera, SURVEY.md
+    section 7); rotation matrix scalars start at ``rot_base``."""
+    slope = jnp.float32(math.tan(cfg.fov))
+    wf = jnp.float32(cfg.width)
+    hf = jnp.float32(cfg.height)
+    inv_h = jnp.float32(1.0) / hf
+    fx = gx.astype(jnp.float32) + jnp.float32(0.5)
+    fy = gy.astype(jnp.float32) + jnp.float32(0.5)
+    su = (jnp.float32(2.0) * fx - wf) * inv_h
+    sv = -(jnp.float32(2.0) * fy - hf) * inv_h
+    cx_ = slope * su
+    cy_ = slope * sv
+    r = [fparams_ref[rot_base + m] for m in range(9)]
+    dx = r[0] * cx_ + r[1] * cy_ - r[2]
+    dy = r[3] * cx_ + r[4] * cy_ - r[5]
+    dz = r[6] * cx_ + r[7] * cy_ - r[8]
+    inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    return dx * inv_n, dy * inv_n, dz * inv_n
+
+
 def _geometry_kernel(
     fparams_ref, iparams_ref, tri_ref, vprev_ref,
     out_vis, out_depth, out_nx, out_ny, out_nz,
@@ -107,23 +128,9 @@ def _geometry_kernel(
     )
     gx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
 
-    # --- primary center ray (unified tracer camera, SURVEY.md section 7) ---
-    slope = jnp.float32(math.tan(cfg.fov))
     wf = jnp.float32(cfg.width)
     hf = jnp.float32(cfg.height)
-    inv_h = jnp.float32(1.0) / hf
-    fx = gx.astype(jnp.float32) + jnp.float32(0.5)
-    fy = gy.astype(jnp.float32) + jnp.float32(0.5)
-    su = (jnp.float32(2.0) * fx - wf) * inv_h
-    sv = -(jnp.float32(2.0) * fy - hf) * inv_h
-    cx_ = slope * su
-    cy_ = slope * sv
-    r = [fparams_ref[35 + m] for m in range(9)]
-    dx = r[0] * cx_ + r[1] * cy_ - r[2]
-    dy = r[3] * cx_ + r[4] * cy_ - r[5]
-    dz = r[6] * cx_ + r[7] * cy_ - r[8]
-    inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-    dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+    dx, dy, dz = _primary_rays(fparams_ref, cfg, gx, gy, rot_base=35)
     ox = jnp.full_like(dx, cam_x)
     oy = jnp.full_like(dx, cam_y)
     oz = jnp.full_like(dx, cam_z)
@@ -148,6 +155,31 @@ def _geometry_kernel(
 
     zero = jnp.zeros_like(wx)
     verts = jax.lax.fori_loop(0, num_tris, sel_body, (zero,) * 18)
+    (v1x, v1y, v1z, v2x, v2y, v2z, v3x, v3y, v3z,
+     p1x, p1y, p1z, p2x, p2y, p2z, p3x, p3y, p3z) = verts
+
+    _geometry_epilogue(
+        fparams_ref, cfg, gx, gy, hit, vis, (n_ux, n_uy, n_uz),
+        (wx, wy, wz), verts,
+        out_vis, out_depth, out_nx, out_ny, out_nz,
+        out_lam, out_py, out_px, out_wx, out_wy, out_wz,
+    )
+
+
+def _geometry_epilogue(
+    fparams_ref, cfg, gx, gy, hit, vis, unit_n, world, verts,
+    out_vis, out_depth, out_nx, out_ny, out_nz,
+    out_lam, out_py, out_px, out_wx, out_wy, out_wz,
+):
+    """Depth / gradient / backprojection epilogue shared by the dense and
+    clustered geometry kernels. ``unit_n`` is the committed unit normal
+    (pre-sentinel), ``world`` the hit world position (zeros at misses),
+    ``verts`` the 18 selected current+previous vertex planes."""
+    cam_x, cam_y, cam_z = fparams_ref[0], fparams_ref[1], fparams_ref[2]
+    wf = jnp.float32(cfg.width)
+    hf = jnp.float32(cfg.height)
+    n_ux, n_uy, n_uz = unit_n
+    wx, wy, wz = world
     (v1x, v1y, v1z, v2x, v2y, v2z, v3x, v3y, v3z,
      p1x, p1y, p1z, p2x, p2y, p2z, p3x, p3y, p3z) = verts
 
@@ -232,6 +264,217 @@ def _geometry_kernel(
     out_wz[:] = wz
 
 
+# --- clustered + streamed geometry path (Sponza-class scenes) -------------
+#
+# The dense kernel above is O(T) twice per tile (intersection + committed-
+# vertex select). For large scenes this kernel keeps the whole per-triangle
+# table (intersection constants + current verts + primID + previous verts)
+# in HBM, Morton-orders triangles into csize-row clusters, and DMAs only the
+# clusters whose AABB a tile's primary rays can improve on -- primary rays
+# are coherent, so per-tile cluster visits stay near the frustum footprint
+# (docs/DESIGN_ROUND2.md section 1b). The vertex select is fused into the
+# intersection's `closer` update, so primitive identity survives without a
+# second O(T) pass.
+
+GEO_CLUSTER_MIN_TRIS = 2048  # below this the dense kernel is cheaper
+GEO_STREAM_COLS = 128        # HBM row width (Mosaic lane-dim DMA alignment)
+# row layout: [0:21 pack_triangles | 21:30 current verts | 30 primID+1 |
+#              31:40 previous verts | 40:128 zero pad]
+_GEO_STATIC_COLS = 31
+
+
+def pack_geometry_clusters(tri_data):
+    """Host-side static tables for the clustered geometry kernel.
+
+    Returns (static_table (Tpad, 31) f32, perm (T,) int32 Morton order,
+    cluster_aabbs (C, 6), super_aabbs (S, 6) | None), or None when the
+    scene is below GEO_CLUSTER_MIN_TRIS. Pad rows are zero (their plane
+    test yields nan t, which self-rejects).
+    """
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+        _group_aabbs,
+        hierarchy_sizes,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.lbvh import (
+        morton_codes_np,
+    )
+    import numpy as np
+
+    tris = np.asarray(tri_data.lut)[1:]  # (T, 3, 3)
+    num_tris = tris.shape[0]
+    csize, num_clusters, ssize, num_supers = hierarchy_sizes(
+        num_tris, min_rows=GEO_CLUSTER_MIN_TRIS
+    )
+    if csize == 0:
+        return None
+    perm = np.argsort(morton_codes_np(tris.mean(1)), kind="stable").astype(
+        np.int32
+    )
+    tri_table = np.asarray(pack_triangles(tri_data))[perm]  # (T, 21)
+    cur = tris[perm].reshape(num_tris, 9)
+    prim = (perm + 1).astype(np.float32)[:, None]
+    static = np.concatenate([tri_table, cur, prim], axis=1)
+
+    padded_rows = num_clusters * csize
+    if padded_rows > num_tris:
+        static = np.concatenate(
+            [static, np.zeros((padded_rows - num_tris, _GEO_STATIC_COLS), np.float32)]
+        )
+    lo = tris[perm].min(1)
+    hi = tris[perm].max(1)
+    caabb = _group_aabbs(lo, hi, csize)
+    pad = num_clusters - caabb.shape[0]
+    if pad:
+        degenerate = np.tile(
+            np.array([1e30] * 3 + [-1e30] * 3, np.float32), (pad, 1)
+        )
+        caabb = np.concatenate([caabb, degenerate], axis=0)
+    saabb = None
+    if num_supers:
+        grouped = caabb.reshape(num_supers, ssize, 6)
+        saabb = np.concatenate(
+            [grouped[:, :, :3].min(axis=1), grouped[:, :, 3:].max(axis=1)],
+            axis=1,
+        ).astype(np.float32)
+    return static.astype(np.float32), perm, caabb, saabb
+
+
+def _geometry_clustered_kernel(
+    fparams_ref, iparams_ref, table_ref, caabb_ref, saabb_ref,
+    out_vis, out_depth, out_nx, out_ny, out_nz,
+    out_lam, out_py, out_px, out_wx, out_wy, out_wz,
+    scratch, sem, *, cfg, num_clusters, csize, num_supers, ssize,
+):
+    cam_x, cam_y, cam_z = fparams_ref[0], fparams_ref[1], fparams_ref[2]
+    row_offset = iparams_ref[0]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    gy = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        + i * TILE_H
+        + row_offset
+    )
+    gx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
+
+    dx, dy, dz = _primary_rays(fparams_ref, cfg, gx, gy, rot_base=35)
+    ox = jnp.full_like(dx, cam_x)
+    oy = jnp.full_like(dx, cam_y)
+    oz = jnp.full_like(dx, cam_z)
+
+    t_max = jnp.float32(cfg.t_max)
+    big = t_max * jnp.float32(2.0)
+    tiny = jnp.float32(1e-12)
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) < tiny, tiny, dx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny, tiny, dy)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) < tiny, tiny, dz)
+
+    def box_near(aabb_ref, c, best_t):
+        lox, loy, loz = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
+        hix, hiy, hiz = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
+        tx0 = (lox - ox) * inv_dx
+        tx1 = (hix - ox) * inv_dx
+        ty0 = (loy - oy) * inv_dy
+        ty1 = (hiy - oy) * inv_dy
+        tz0 = (loz - oz) * inv_dz
+        tz1 = (hiz - oz) * inv_dz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best_t)
+
+    def tri_body(r, s):
+        best_t, hit_i, vis = s[0], s[1], s[2]
+        nx_, ny_, nz_ = scratch[r, 3], scratch[r, 4], scratch[r, 5]
+        d0 = scratch[r, 6]
+        n1x, n1y, n1z, d1 = (
+            scratch[r, 7], scratch[r, 8], scratch[r, 9], scratch[r, 10],
+        )
+        n2x, n2y, n2z, d2 = (
+            scratch[r, 11], scratch[r, 12], scratch[r, 13], scratch[r, 14],
+        )
+        nd = dx * nx_ + dy * ny_ + dz * nz_
+        no = ox * nx_ + oy * ny_ + oz * nz_
+        t_hit = (d0 - no) / nd  # nan/inf self-rejects (pad rows too)
+        u = (n1x * ox + n1y * oy + n1z * oz) + t_hit * (
+            n1x * dx + n1y * dy + n1z * dz
+        ) + d1
+        v = (n2x * ox + n2y * oy + n2z * oz) + t_hit * (
+            n2x * dx + n2y * dy + n2z * dz
+        ) + d2
+        valid = (
+            (jnp.minimum(u, v) >= 0.0)
+            & (u + v <= 1.0)
+            & (t_hit > 0.0)
+            & (t_hit <= t_max)
+        )
+        closer = valid & (t_hit < best_t)
+        out = [
+            jnp.where(closer, t_hit, best_t),
+            hit_i | closer.astype(jnp.int32),
+            jnp.where(closer, scratch[r, 30], vis),
+        ]
+        # committed normal + current/previous verts, fused into the update
+        for c in range(3):
+            out.append(jnp.where(closer, scratch[r, 18 + c], s[3 + c]))
+        for c in range(9):
+            out.append(jnp.where(closer, scratch[r, 21 + c], s[6 + c]))
+        for c in range(9):
+            out.append(jnp.where(closer, scratch[r, 31 + c], s[15 + c]))
+        return tuple(out)
+
+    def cluster_body(c, s):
+        near = box_near(caabb_ref, c, s[0])
+
+        def run(s2):
+            copy = pltpu.make_async_copy(
+                table_ref.at[pl.ds(c * csize, csize), :], scratch, sem
+            )
+            copy.start()
+            copy.wait()
+            return jax.lax.fori_loop(0, csize, tri_body, s2)
+
+        return jax.lax.cond(jnp.any(near), run, lambda s2: s2, s)
+
+    zero = jnp.zeros_like(ox)
+    init = (jnp.full_like(ox, big), jnp.zeros_like(ox, jnp.int32)) + (zero,) * 22
+
+    if num_supers:
+        def super_body(g, s):
+            near = box_near(saabb_ref, g, s[0])
+
+            def run(s2):
+                def inner(cj, s3):
+                    return cluster_body(g * ssize + cj, s3)
+
+                return jax.lax.fori_loop(0, ssize, inner, s2)
+
+            return jax.lax.cond(jnp.any(near), run, lambda s2: s2, s)
+
+        out = jax.lax.fori_loop(0, num_supers, super_body, init)
+    else:
+        out = jax.lax.fori_loop(0, num_clusters, cluster_body, init)
+
+    best_t, hit_i, vis = out[0], out[1], out[2]
+    unit_n = out[3:6]
+    verts = out[6:24]
+    hit = hit_i != 0
+    wx = jnp.where(hit, ox + best_t * dx, 0.0)
+    wy = jnp.where(hit, oy + best_t * dy, 0.0)
+    wz = jnp.where(hit, oz + best_t * dz, 0.0)
+
+    _geometry_epilogue(
+        fparams_ref, cfg, gx, gy, hit, vis, unit_n, (wx, wy, wz), verts,
+        out_vis, out_depth, out_nx, out_ny, out_nz,
+        out_lam, out_py, out_px, out_wx, out_wy, out_wz,
+    )
+
+
 def pack_lut_verts(lut: jnp.ndarray) -> jnp.ndarray:
     """(T+1, 3, 3) visibility LUT -> (T, 9) SMEM vertex table (slot 0
     dropped; the kernel handles background explicitly)."""
@@ -250,12 +493,6 @@ def geometry_pass_pallas(
     hot path)."""
     h = cfg.height if rows is None else rows
     w = cfg.width
-    tri_table = pack_triangles(tri_data)
-    # current verts appended to the packed table? separate table keeps the
-    # intersection loop's column layout stable:
-    cur_verts = pack_lut_verts(tri_data.lut)
-    prev_verts = pack_lut_verts(lut_prev)
-    num_tris = int(tri_table.shape[0])
 
     if rotation is None:
         rotation = jnp.eye(3, dtype=jnp.float32)
@@ -282,7 +519,6 @@ def geometry_pass_pallas(
     iparams = jnp.asarray(row_offset, jnp.int32).reshape(1)
 
     grid = (pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
-    kernel = functools.partial(_geometry_kernel, cfg=cfg, num_tris=num_tris)
     f32 = jnp.float32
     out_shape = [
         jax.ShapeDtypeStruct((h, w), f32),        # vis
@@ -299,20 +535,81 @@ def geometry_pass_pallas(
     ]
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
         _table_space,
+        hierarchy_sizes,
     )
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [
-            pl.BlockSpec(memory_space=_table_space(num_tris, 30)),
-            pl.BlockSpec(memory_space=_table_space(num_tris, 9)),
-        ],
-        out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * 11,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(fparams, iparams, _merge_tables(tri_table, cur_verts), prev_verts)
+    geo_static = getattr(tri_data, "geo_static", None)
+    if geo_static is not None:
+        # clustered + streamed path: HBM-resident per-triangle table, DMA
+        # per visited cluster; previous verts gathered into Morton order
+        # in-graph (the only per-frame-varying columns).
+        perm = tri_data.geo_perm
+        num_tris = int(perm.shape[0])
+        padded_rows = int(geo_static.shape[0])
+        csize, num_clusters, ssize, num_supers = hierarchy_sizes(
+            num_tris, min_rows=GEO_CLUSTER_MIN_TRIS
+        )
+        assert num_clusters * csize == padded_rows
+        prev9 = lut_prev[1:].reshape(num_tris, 9).astype(f32)[perm]
+        prev9 = jnp.pad(prev9, ((0, padded_rows - num_tris), (0, 0)))
+        table = jnp.concatenate(
+            [
+                geo_static,
+                prev9,
+                jnp.zeros(
+                    (padded_rows, GEO_STREAM_COLS - _GEO_STATIC_COLS - 9), f32
+                ),
+            ],
+            axis=1,
+        )
+        caabb = tri_data.geo_cluster_aabbs
+        saabb = tri_data.geo_super_aabbs
+        if saabb is None:
+            saabb = jnp.zeros((1, 6), f32)
+        kernel = functools.partial(
+            _geometry_clustered_kernel, cfg=cfg,
+            num_clusters=num_clusters, csize=csize,
+            num_supers=num_supers, ssize=ssize,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=_table_space(num_clusters, 6)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * 11,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((csize, GEO_STREAM_COLS), f32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(fparams, iparams, table, caabb, saabb)
+    else:
+        tri_table = pack_triangles(tri_data)
+        # current verts merged into the packed table; separate prev table
+        # keeps the intersection loop's column layout stable.
+        cur_verts = pack_lut_verts(tri_data.lut)
+        prev_verts = pack_lut_verts(lut_prev)
+        num_tris = int(tri_table.shape[0])
+        kernel = functools.partial(
+            _geometry_kernel, cfg=cfg, num_tris=num_tris
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [
+                pl.BlockSpec(memory_space=_table_space(num_tris, 30)),
+                pl.BlockSpec(memory_space=_table_space(num_tris, 9)),
+            ],
+            out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * 11,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(fparams, iparams, _merge_tables(tri_table, cur_verts), prev_verts)
     vis, depth, nx, ny, nz, lam, prev_y, prev_x, wx, wy, wz = outs
     if planar:
         return GeometryBuffers(

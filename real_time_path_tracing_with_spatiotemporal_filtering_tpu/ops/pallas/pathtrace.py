@@ -81,6 +81,35 @@ def pack_triangles(tri_data) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
+def _greedy_adjacent_pairs(can_pair: "np.ndarray") -> "np.ndarray":
+    """Vectorized left-to-right greedy matching on a path graph.
+
+    ``can_pair[i]`` says triangles (i, i+1) may merge. The sequential greedy
+    scan pairs the first eligible index of every run of consecutive True
+    values, then every second index after it -- i.e. within a True-run
+    starting at s, pair starts are s, s+2, s+4, ... Expressed with a
+    cumulative max over run starts (no Python loop; 250k tris in ~ms).
+
+    Returns (P, 2) int64 [a, b] rows in ascending order; singletons have
+    a == b. Matches the round-1 per-triangle scan exactly (golden-tested).
+    """
+    num = can_pair.shape[0] + 1  # triangles
+    if num == 1:
+        return np.array([[0, 0]], np.int64)
+    m = np.asarray(can_pair, bool)
+    idx = np.arange(num - 1)
+    # last index <= i where m is False (-1 when none): marks the run start
+    last_false = np.maximum.accumulate(np.where(~m, idx, -1))
+    offset = idx - last_false - 1  # position within the current True-run
+    pair_start = m & (offset % 2 == 0)
+    is_a_of_pair = np.concatenate([pair_start, [False]])  # per-triangle
+    is_b_of_pair = np.concatenate([[False], pair_start])
+    single = ~is_a_of_pair & ~is_b_of_pair
+    a = np.where(is_a_of_pair | single)[0]
+    b = np.where(is_a_of_pair[a], a + 1, a)
+    return np.stack([a, b], axis=1)
+
+
 def pack_shading_pairs(tri_data) -> "np.ndarray":
     """Merge coplanar fan pairs into (P, 26) shading primitives.
 
@@ -92,7 +121,8 @@ def pack_shading_pairs(tri_data) -> "np.ndarray":
     triangles become a pair of two identical sub-triangles (same cost, same
     result). Cornell: 32 tris -> 16 primitives, ~25% fewer bounce-loop ops.
 
-    Host-side (numpy): pairing is data-dependent, done once at scene load.
+    Host-side (numpy), fully vectorized: <1 s at 250k triangles (the round-1
+    per-pair Python scan took minutes there).
     """
     p = tri_data.planes
     n = np.asarray(p.n)
@@ -103,57 +133,56 @@ def pack_shading_pairs(tri_data) -> "np.ndarray":
     normals = np.asarray(tri_data.normals)
     num = n.shape[0]
 
-    def coplanar(i, j):
-        # same oriented plane (normalized) and same material
-        sa = np.linalg.norm(n[i])
-        sb = np.linalg.norm(n[j])
-        if sa < 1e-12 or sb < 1e-12:
-            return False
-        return (
-            np.allclose(n[i] / sa, n[j] / sb, atol=1e-5)
-            and abs(d0[i] / sa - d0[j] / sb) < 1e-5
-            and np.allclose(albedo[i], albedo[j], atol=1e-6)
-        )
+    # same oriented plane (normalized) and same material, for (i, i+1);
+    # tolerances replicate np.allclose's |a-b| <= atol + rtol*|b| form used
+    # by the round-1 scalar scan (rtol defaults to 1e-5).
+    if num > 1:
+        scale = np.linalg.norm(n, axis=1)
+        safe = np.maximum(scale, 1e-30)[:, None]
+        nh = n / safe
+        dh = d0 / np.maximum(scale, 1e-30)
+        ai, bi = nh[:-1], nh[1:]
 
-    pair_order = []
-    i = 0
-    while i < num:
-        if i + 1 < num and coplanar(i, i + 1):
-            pair_order.append((i, i + 1))
-            i += 2
-        else:
-            pair_order.append((i, i))
-            i += 1
+        def close(a, b, atol, rtol=1e-5):
+            return np.abs(a - b) <= atol + rtol * np.abs(b)
+
+        can_pair = (
+            (scale[:-1] >= 1e-12)
+            & (scale[1:] >= 1e-12)
+            & close(ai, bi, 1e-5).all(axis=1)
+            & (np.abs(dh[:-1] - dh[1:]) < 1e-5)
+            & close(albedo[:-1], albedo[1:], 1e-6).all(axis=1)
+        )
+        pairs = _greedy_adjacent_pairs(can_pair)
+    else:
+        pairs = _greedy_adjacent_pairs(np.zeros((0,), bool))
 
     # Morton-order pairs (by centroid) so consecutive pairs are spatially
     # tight -- the cluster AABBs built over them stay small. Order does not
     # affect results beyond exact-t ties (no primitive identity here).
-    if len(pair_order) >= CLUSTER_MIN_PAIRS:
+    if pairs.shape[0] >= CLUSTER_MIN_PAIRS:
         from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.lbvh import (
-            morton_codes,
+            morton_codes_np,
         )
 
         tris = np.asarray(tri_data.lut)[1:]
-        cents = np.asarray(
-            [(tris[a].mean(0) + tris[b].mean(0)) * 0.5 for a, b in pair_order],
-            np.float32,
-        )
-        codes = np.asarray(morton_codes(jnp.asarray(cents)))
-        pair_order = [pair_order[k] for k in np.argsort(codes)]
+        cents = (
+            tris[pairs[:, 0]].mean(1) + tris[pairs[:, 1]].mean(1)
+        ).astype(np.float32) * np.float32(0.5)
+        codes = morton_codes_np(cents)
+        pairs = pairs[np.argsort(codes, kind="stable")]
 
-    rows = []
-    for a, b in pair_order:
-        rows.append(
-            np.concatenate(
-                [
-                    n[a], [d0[a]],
-                    n1[a], [d1[a]], n2[a], [d2[a]],
-                    n1[b], [d1[b]], n2[b], [d2[b]],
-                    albedo[a], normals[a],
-                ]
-            )
-        )
-    return np.asarray(rows, np.float32), pair_order
+    a, b = pairs[:, 0], pairs[:, 1]
+    table = np.concatenate(
+        [
+            n[a], d0[a, None],
+            n1[a], d1[a, None], n2[a], d2[a, None],
+            n1[b], d1[b, None], n2[b], d2[b, None],
+            albedo[a], normals[a],
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return table, pairs  # pairs: (P, 2) [a, b] triangle indices
 
 
 CLUSTER_MIN_PAIRS = 32   # below this, flat iteration is cheaper
@@ -178,20 +207,46 @@ def _table_space(rows: int, cols: int):
     return pltpu.VMEM
 
 
-def pallas_scene_supported(tri_data) -> bool:
-    """True when the scene's tables fit on-chip for the Pallas kernels."""
-    rows = int(tri_data.normals.shape[0])  # geometry kernel table rows
+def _resident_table_rows(tri_data) -> int:
+    """Rows the frame's Pallas kernels would keep on-chip: the pair table
+    for the trace loop (falls back to the triangle table without pairing),
+    and the triangle table for the dense geometry kernel unless the
+    clustered geometry path (HBM-streamed) is packed."""
     pair_table = getattr(tri_data, "pair_table", None)
-    if pair_table is not None:
-        rows = max(rows, int(pair_table.shape[0]))
-    return rows * _VMEM_ROW_BYTES <= MAX_VMEM_TABLE_BYTES
+    rows = (
+        int(pair_table.shape[0])
+        if pair_table is not None
+        else int(tri_data.normals.shape[0])
+    )
+    if getattr(tri_data, "geo_static", None) is None:
+        rows = max(rows, int(tri_data.normals.shape[0]))
+    return rows
 
 
-def hierarchy_sizes(num_pairs: int) -> tuple[int, int, int, int]:
+def trace_needs_streaming(tri_data) -> bool:
+    """True when the bounce loop's pair table exceeds the on-chip budget
+    and must stay in HBM (per-visited-cluster DMA)."""
+    return _resident_table_rows(tri_data) * _VMEM_ROW_BYTES > MAX_VMEM_TABLE_BYTES
+
+
+def pallas_scene_supported(tri_data) -> bool:
+    """True when the scene can run the Pallas fast path: tables fit
+    on-chip, or the cluster hierarchy needed for HBM streaming exists."""
+    if not trace_needs_streaming(tri_data):
+        return True
+    return (
+        getattr(tri_data, "cluster_aabbs", None) is not None
+        and getattr(tri_data, "geo_static", None) is not None
+    )
+
+
+def hierarchy_sizes(
+    num_pairs: int, min_rows: int = CLUSTER_MIN_PAIRS
+) -> tuple[int, int, int, int]:
     """(csize, num_clusters, ssize, num_supers); zeros when a level is
     absent. Must be the single source of truth for packing AND kernel
     wiring (padding depends on it)."""
-    if num_pairs < CLUSTER_MIN_PAIRS:
+    if num_pairs < min_rows:
         return 0, 0, 0, 0
     cs = cluster_size_for(num_pairs)
     c = -(-num_pairs // cs)
@@ -246,18 +301,24 @@ def build_clusters(tri_data, pair_order, csize):
     spatially tight).
     """
     tris = np.asarray(tri_data.lut)[1:]  # (T, 3, 3)
-    boxes = []
-    for a, b in pair_order:
-        lo = np.minimum(tris[a].min(0), tris[b].min(0))
-        hi = np.maximum(tris[a].max(0), tris[b].max(0))
-        boxes.append((lo, hi))
-    rows = []
-    for c0 in range(0, len(boxes), csize):
-        chunk = boxes[c0 : c0 + csize]
-        lo = np.min([b[0] for b in chunk], axis=0)
-        hi = np.max([b[1] for b in chunk], axis=0)
-        rows.append(np.concatenate([lo, hi]))
-    return np.asarray(rows, np.float32)
+    pairs = np.asarray(pair_order, np.int64).reshape(-1, 2)
+    a, b = pairs[:, 0], pairs[:, 1]
+    lo = np.minimum(tris[a].min(1), tris[b].min(1))  # (P, 3)
+    hi = np.maximum(tris[a].max(1), tris[b].max(1))
+    return _group_aabbs(lo, hi, csize)
+
+
+def _group_aabbs(lo: "np.ndarray", hi: "np.ndarray", csize: int):
+    """Reduce (P, 3) box min/max arrays into per-cluster AABBs of ``csize``
+    consecutive boxes: (ceil(P/csize), 6) [min3 | max3], vectorized."""
+    p = lo.shape[0]
+    pad = (-p) % csize
+    if pad:
+        lo = np.concatenate([lo, np.full((pad, 3), np.inf, lo.dtype)])
+        hi = np.concatenate([hi, np.full((pad, 3), -np.inf, hi.dtype)])
+    lo_g = lo.reshape(-1, csize, 3).min(axis=1)
+    hi_g = hi.reshape(-1, csize, 3).max(axis=1)
+    return np.concatenate([lo_g, hi_g], axis=1).astype(np.float32)
 
 
 def _u2f(word):
@@ -311,13 +372,15 @@ def _nearest_hit_unrolled(
         v = (n2x * ox + n2y * oy + n2z * oz) + t_hit * (
             n2x * dx + n2y * dy + n2z * dz
         ) + d2
+        # t_max always enforced: best_t inits to 2*t_max, so skipping the
+        # test would commit hits in (t_max, 2*t_max] that the XLA oracle and
+        # the reference ray query (tMax, raytrace.comp.glsl:216) reject.
         valid = (
             (jnp.minimum(u, v) >= 0.0)
             & (u + v <= 1.0)
             & (t_hit > 0.0)
+            & (t_hit <= t_max)
         )
-        if cfg.t_max < 1e4:  # Cornell-class scenes never reach t_max
-            valid = valid & (t_hit <= t_max)
         # t < best_t is nan-safe (nan compares false)
         closer = valid & (t_hit < best_t)
         best_t = jnp.where(closer, t_hit, best_t)
@@ -547,9 +610,8 @@ def _pair_test(pair_ref, t, ox, oy, oz, dx, dy, dz, state, cfg):
         ) + d2
         return (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
 
-    valid = (inside(4) | inside(12)) & (t_hit > 0.0)
-    if cfg.t_max < 1e4:
-        valid = valid & (t_hit <= t_max)
+    # t_max always enforced (see _nearest_hit_unrolled).
+    valid = (inside(4) | inside(12)) & (t_hit > 0.0) & (t_hit <= t_max)
     closer = valid & (t_hit < best_t)
     best_t = jnp.where(closer, t_hit, best_t)
     hit_i = hit_i | closer.astype(jnp.int32)

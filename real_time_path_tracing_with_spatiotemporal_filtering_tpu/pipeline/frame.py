@@ -52,16 +52,40 @@ def camera_matrices(camera, cfg: RenderConfig):
     return view, proj
 
 
+_warned_fallback = False
+
+
+def _warn_fallback_once(num_rows: int, cap: int) -> None:
+    global _warned_fallback
+    if _warned_fallback:
+        return
+    _warned_fallback = True
+    import warnings
+
+    warnings.warn(
+        f"scene tables ({num_rows} rows) exceed the Pallas on-chip row cap "
+        f"({cap}) and the scene carries no cluster hierarchy for HBM "
+        "streaming (precompute_triangle_data builds one for concrete "
+        "geometry); falling back to the dense O(pixels x triangles) XLA "
+        "formulation, which is correct at any size but orders of magnitude "
+        "slower. See device_info()['pallas_resident_row_cap'].",
+        stacklevel=3,
+    )
+
+
 def _use_pallas(cfg: RenderConfig, tri_data=None) -> bool:
     if cfg.backend == "xla":
         return False
     if tri_data is not None:
-        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
-            pallas_scene_supported,
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+            pathtrace as pt_mod,
         )
 
-        if not pallas_scene_supported(tri_data):
-            return False  # SMEM table cap; XLA handles any size
+        if not pt_mod.pallas_scene_supported(tri_data):
+            rows = pt_mod._resident_table_rows(tri_data)
+            cap = pt_mod.MAX_VMEM_TABLE_BYTES // pt_mod._VMEM_ROW_BYTES
+            _warn_fallback_once(rows, cap)
+            return False
     if cfg.backend == "pallas":
         return True
     return jax.default_backend() == "tpu"
@@ -163,6 +187,7 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
     noisy = pt_mod.path_trace_pass_pallas(
         tri_data, camera.position, light, frame_idx, cfg,
         interpret=interpret, planar=True, rotation=camera.rotation,
+        stream_tables=pt_mod.trace_needs_streaming(tri_data),
     )
     filtered = atrous_pl.atrous_filter_pallas(
         noisy, geo.normal, geo.depth, cfg, interpret=interpret

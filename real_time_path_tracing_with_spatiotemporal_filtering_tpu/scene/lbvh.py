@@ -73,6 +73,32 @@ def morton_codes(centroids: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def morton_codes_np(centroids) -> "np.ndarray":
+    """Numpy twin of :func:`morton_codes` for host-side scene prep (same
+    bits; skips a jit compile in one-shot load paths)."""
+    import numpy as np
+
+    c = np.asarray(centroids, np.float32)
+    lo = c.min(axis=0)
+    hi = c.max(axis=0)
+    x = (c - lo) / np.maximum(hi - lo, np.float32(1e-12))
+    q = np.clip((x * np.float32(1024.0)).astype(np.uint32), 0, 1023)
+
+    def expand_bits(v):
+        v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+        v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+        v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+        v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+        return v
+
+    with np.errstate(over="ignore"):
+        return (
+            (expand_bits(q[:, 0]) << 2)
+            | (expand_bits(q[:, 1]) << 1)
+            | expand_bits(q[:, 2])
+        )
+
+
 def _clz32(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.clz(x.astype(jnp.int32)).astype(jnp.int32)
 

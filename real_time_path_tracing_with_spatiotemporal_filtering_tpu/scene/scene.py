@@ -18,7 +18,7 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import shading
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.intersect import (
     TrianglePlanes,
     build_triangle_planes,
-)
+)  # noqa: F401  (build_triangle_planes used on the traced path)
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.utils.pytree import (
     pytree_dataclass,
 )
@@ -148,58 +148,144 @@ class TriangleData:
     cluster_aabbs: jnp.ndarray | None = None
     # (S, 6) supercluster AABBs (second cull level for larger scenes).
     super_aabbs: jnp.ndarray | None = None
+    # Clustered geometry-kernel tables (ops/pallas/geometry.
+    # pack_geometry_clusters); None below GEO_CLUSTER_MIN_TRIS or under
+    # tracing. geo_static is the (Tpad, 31) Morton-ordered static part of
+    # the streamed per-triangle row; geo_perm maps Morton row -> original
+    # triangle id.
+    geo_static: jnp.ndarray | None = None
+    geo_perm: jnp.ndarray | None = None
+    geo_cluster_aabbs: jnp.ndarray | None = None
+    geo_super_aabbs: jnp.ndarray | None = None
+
+
+# Above this triangle count the base tables are built with numpy instead of
+# eager jnp (which costs seconds of per-op dispatch at 250k tris). The two
+# paths differ by <= 1 ulp (XLA's CPU cross product uses FMA, numpy's
+# cannot), so small scenes keep the jax path to hold golden snapshots and
+# round-1 outputs bit-stable; at large-scene sizes both render backends
+# consume the same tables, so the ulp never becomes a parity issue.
+_NUMPY_PREP_MIN_TRIS = 16384
+
+
+def _base_tables_np(tris: np.ndarray):
+    """Numpy twin of the jax table build (within 1 ulp, see
+    _NUMPY_PREP_MIN_TRIS). 250k-tri scene prep drops from seconds of eager
+    jnp dispatch to ~0.1 s."""
+    tris = np.asarray(tris, np.float32)
+    v0 = tris[:, 0, :]
+    e1 = tris[:, 1, :] - v0
+    e2 = tris[:, 2, :] - v0
+    n = np.cross(e1, e2)
+    inv_nn = (np.float32(1.0) / np.sum(n * n, axis=-1, keepdims=True)).astype(
+        np.float32
+    )
+    n1 = np.cross(e2, n) * inv_nn
+    n2 = np.cross(n, e1) * inv_nn
+    planes = TrianglePlanes(
+        v0=v0, e1=e1, e2=e2, n=n,
+        d0=np.sum(n * v0, axis=-1),
+        n1=n1, d1=-np.sum(n1 * v0, axis=-1),
+        n2=n2, d2=-np.sum(n2 * v0, axis=-1),
+    )
+    norm = np.sqrt(np.sum(n * n, axis=-1, keepdims=True))
+    normals = n / norm
+    nx = normals[:, 0]
+    albedo = np.where(
+        (nx > 0.99)[:, None],
+        np.array([1.0, 0.0, 0.0], np.float32),
+        np.where(
+            (nx < -0.99)[:, None],
+            np.array([0.0, 1.0, 0.0], np.float32),
+            np.array([0.7, 0.7, 0.7], np.float32),
+        ),
+    ).astype(np.float32)
+    lut = np.concatenate([np.zeros((1, 3, 3), np.float32), tris], axis=0)
+    lut_normals = np.concatenate(
+        [np.array([[0.0, 0.0, 1.0]], np.float32), normals], axis=0
+    )
+    return planes, normals.astype(np.float32), albedo, lut, lut_normals
 
 
 def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
     """Build all per-triangle tables. Pure and jittable; for static scenes
     call once at load, for animated geometry call per frame on the
-    transformed vertices.
+    transformed vertices. Concrete (non-traced) scenes take a vectorized
+    numpy fast path (bit-identical; ~0.5 s at 250k triangles).
 
     ``albedo``: optional (T, 3) per-triangle albedo. Default reproduces the
     reference's hardcoded normal-keyed materials (raytrace.comp.glsl:
     155-163); overriding is the extension point for real material systems
     (both backends read TriangleData.albedo)."""
-    tris = scene.triangles
-    planes = build_triangle_planes(tris)
-    normals = planes.n / jnp.linalg.norm(planes.n, axis=-1, keepdims=True)
-    if albedo is None:
-        albedo = shading.albedo_from_normal(normals)
-    else:
-        albedo = jnp.asarray(albedo, jnp.float32)
-        if albedo.shape != tris.shape[:1] + (3,):
-            raise ValueError(f"albedo must be (T, 3), got {albedo.shape}")
-    lut = jnp.concatenate([jnp.zeros((1, 3, 3), tris.dtype), tris], axis=0)
-    background_normal = jnp.array([[0.0, 0.0, 1.0]], jnp.float32)
-    lut_normals = jnp.concatenate([background_normal, normals], axis=0)
-    td = TriangleData(
-        planes=planes,
-        normals=normals,
-        albedo=albedo,
-        lut=lut,
-        lut_normals=lut_normals,
+    concrete = not isinstance(scene.vertices, jax.core.Tracer) and not isinstance(
+        scene.indices, jax.core.Tracer
     )
-    try:
-        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
-            build_hierarchy,
-            pack_shading_pairs,
-        )
+    if concrete and scene.num_triangles >= _NUMPY_PREP_MIN_TRIS:
+        tris_np = np.asarray(scene.vertices)[np.asarray(scene.indices)]
+        planes, normals, albedo_np, lut, lut_normals = _base_tables_np(tris_np)
+        if albedo is None:
+            albedo = albedo_np
+        else:
+            albedo = np.asarray(albedo, np.float32)
+            if albedo.shape != tris_np.shape[:1] + (3,):
+                raise ValueError(f"albedo must be (T, 3), got {albedo.shape}")
+    else:
+        tris = scene.triangles
+        planes = build_triangle_planes(tris)
+        normals = planes.n / jnp.linalg.norm(planes.n, axis=-1, keepdims=True)
+        if albedo is None:
+            albedo = shading.albedo_from_normal(normals)
+        else:
+            albedo = jnp.asarray(albedo, jnp.float32)
+            if albedo.shape != tris.shape[:1] + (3,):
+                raise ValueError(f"albedo must be (T, 3), got {albedo.shape}")
+        lut = jnp.concatenate([jnp.zeros((1, 3, 3), tris.dtype), tris], axis=0)
+        background_normal = jnp.array([[0.0, 0.0, 1.0]], jnp.float32)
+        lut_normals = jnp.concatenate([background_normal, normals], axis=0)
+    td = TriangleData(
+        planes=jax.tree_util.tree_map(jnp.asarray, planes),
+        normals=jnp.asarray(normals),
+        albedo=jnp.asarray(albedo),
+        lut=jnp.asarray(lut),
+        lut_normals=jnp.asarray(lut_normals),
+    )
+    if not concrete:
+        # traced geometry: pairing/clustering are host-side decisions
+        return td
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+        build_hierarchy,
+        pack_shading_pairs,
+    )
 
-        table, pair_order = pack_shading_pairs(td)
-        pair_table = jnp.asarray(table)
-        caabb, saabb = build_hierarchy(td, pair_order)
-        cluster_aabbs = None if caabb is None else jnp.asarray(caabb)
-        super_aabbs = None if saabb is None else jnp.asarray(saabb)
-    except jax.errors.TracerArrayConversionError:
-        pair_table = None  # traced geometry: pairing needs concrete data
-        cluster_aabbs = None
-        super_aabbs = None
+    table, pair_order = pack_shading_pairs(td)
+    pair_table = jnp.asarray(table)
+    caabb, saabb = build_hierarchy(td, pair_order)
+    cluster_aabbs = None if caabb is None else jnp.asarray(caabb)
+    super_aabbs = None if saabb is None else jnp.asarray(saabb)
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.geometry import (
+        pack_geometry_clusters,
+    )
+
+    geo = pack_geometry_clusters(td)
+    if geo is None:
+        geo_static = geo_perm = geo_caabb = geo_saabb = None
+    else:
+        g_static, g_perm, g_caabb, g_saabb = geo
+        geo_static = jnp.asarray(g_static)
+        geo_perm = jnp.asarray(g_perm)
+        geo_caabb = jnp.asarray(g_caabb)
+        geo_saabb = None if g_saabb is None else jnp.asarray(g_saabb)
     return TriangleData(
-        planes=planes,
-        normals=normals,
-        albedo=albedo,
-        lut=lut,
-        lut_normals=lut_normals,
+        planes=td.planes,
+        normals=td.normals,
+        albedo=td.albedo,
+        lut=td.lut,
+        lut_normals=td.lut_normals,
         pair_table=pair_table,
         cluster_aabbs=cluster_aabbs,
         super_aabbs=super_aabbs,
+        geo_static=geo_static,
+        geo_perm=geo_perm,
+        geo_cluster_aabbs=geo_caabb,
+        geo_super_aabbs=geo_saabb,
     )

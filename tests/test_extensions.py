@@ -143,3 +143,66 @@ def test_scene_size_guard_and_xla_fallback():
         td, Camera.default(), Light.default(), hist, cfg
     )
     assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_default_scene_loads_out_of_the_box(tmp_path, monkeypatch):
+    """load_obj() with no arguments must work (the reference vendors the
+    asset and loads it at main.cpp:417); ours is synthesized on first use."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        obj as obj_mod,
+    )
+
+    target = str(tmp_path / "assets" / "CornellBox-Original-Merged.obj")
+    monkeypatch.setattr(obj_mod, "DEFAULT_SCENE", target)
+    verts, idx = obj_mod.load_obj()
+    assert verts.shape == (64, 3)
+    assert idx.shape == (32, 3)
+    # second call reuses the materialized asset
+    verts2, idx2 = obj_mod.load_obj()
+    np.testing.assert_array_equal(verts, verts2)
+    np.testing.assert_array_equal(idx, idx2)
+    # triangle-exact vs the procedural generator (itself verified against
+    # the reference OBJ)
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+
+    pv, pi = procedural.cornell_box()
+    np.testing.assert_allclose(verts[idx], pv[pi], atol=1e-6)
+
+
+def test_missing_obj_raises_file_not_found():
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        obj as obj_mod,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        obj_mod.load_obj("/nonexistent/scene.obj")
+
+
+def test_oversize_scene_warns_once_on_fallback():
+    import types
+    import warnings
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline import (
+        frame as frame_mod,
+    )
+
+    monster = types.SimpleNamespace(
+        normals=np.zeros((400_000, 3), np.float32),
+        pair_table=np.zeros((200_000, 26), np.float32),
+    )
+    frame_mod._warned_fallback = False
+    cfg = dataclasses.replace(CFG, backend="pallas")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert not frame_mod._use_pallas(cfg, monster)
+        assert not frame_mod._use_pallas(cfg, monster)
+    msgs = [str(w.message) for w in rec if "row cap" in str(w.message)]
+    assert len(msgs) == 1  # warned exactly once
+    frame_mod._warned_fallback = False
+
+
+def test_device_info_exposes_row_cap():
+    info = device_info()
+    assert info["pallas_resident_row_cap"] > 20_000

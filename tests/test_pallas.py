@@ -208,3 +208,145 @@ def test_stream_tables_bitwise_parity():
         )
     )
     np.testing.assert_array_equal(ref, stm)
+
+
+def test_greedy_pairing_matches_sequential_oracle():
+    """_greedy_adjacent_pairs (vectorized) vs the round-1 sequential scan."""
+    import numpy as np
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+        _greedy_adjacent_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        num = int(rng.integers(1, 40))
+        m = rng.random(num - 1) < 0.5 if num > 1 else np.zeros((0,), bool)
+        # sequential greedy oracle
+        oracle = []
+        i = 0
+        while i < num:
+            if i + 1 < num and m[i]:
+                oracle.append((i, i + 1))
+                i += 2
+            else:
+                oracle.append((i, i))
+                i += 1
+        got = _greedy_adjacent_pairs(m)
+        assert [tuple(r) for r in got] == oracle, (num, m)
+
+
+def test_numpy_prep_matches_jax_tables():
+    """The large-scene numpy table build matches the jax build to 1 ulp and
+    produces identical pairing/cluster decisions."""
+    import numpy as np
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+        shading,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.intersect import (
+        build_triangle_planes,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        _base_tables_np,
+    )
+
+    sc = Scene.from_arrays(*procedural.subdivided_cornell(4))
+    tris = sc.triangles
+    pj = build_triangle_planes(tris)
+    nj = pj.n / jnp.linalg.norm(pj.n, axis=-1, keepdims=True)
+    aj = shading.albedo_from_normal(nj)
+    pn, nn, an, lut, lutn = _base_tables_np(np.asarray(tris))
+    for f in pj._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(pj, f)), getattr(pn, f), rtol=1e-6, atol=1e-6
+        )
+    np.testing.assert_allclose(np.asarray(nj), nn, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(aj), an)  # thresholded: exact
+    np.testing.assert_array_equal(np.asarray(tris), lut[1:])
+
+
+def test_geometry_clustered_matches_dense():
+    """The clustered+streamed geometry kernel (HBM table, per-visited-
+    cluster DMA, fused vertex select) must match the dense kernel exactly
+    on every output plane."""
+    import dataclasses as dc
+
+    import jax
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+        geometry as geo_mod,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline import (
+        frame as frame_mod,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Camera,
+        Light,
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = dataclasses.replace(CFG, width=64, height=48)
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(12))
+    )
+    assert td.geo_static is not None  # above GEO_CLUSTER_MIN_TRIS
+    td_dense = dc.replace(
+        td, geo_static=None, geo_perm=None,
+        geo_cluster_aabbs=None, geo_super_aabbs=None,
+    )
+    cam, light = Camera.default(), Light.default()
+    view, proj = frame_mod.camera_matrices(cam, cfg)
+    args = (
+        td.lut, cam.position, light.position, light.position,
+        light.color, light.color, view, proj, view, proj, cfg,
+    )
+    g_clustered = geo_mod.geometry_pass_pallas(td, *args, interpret=True)
+    g_dense = geo_mod.geometry_pass_pallas(td_dense, *args, interpret=True)
+    for f in g_dense._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g_dense, f)),
+            np.asarray(getattr(g_clustered, f)),
+            err_msg=f,
+        )
+
+
+def test_streaming_routing():
+    """Scenes beyond the resident cap route to streaming (not XLA) when the
+    cluster hierarchy exists; trace_needs_streaming flags exactly them."""
+    import types
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+        pallas_scene_supported,
+        trace_needs_streaming,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(12))
+    )
+    assert pallas_scene_supported(td)
+    assert not trace_needs_streaming(td)  # 2.4k pairs: resident
+
+    big = types.SimpleNamespace(
+        normals=np.zeros((400_000, 3), np.float32),
+        pair_table=np.zeros((200_000, 26), np.float32),
+        cluster_aabbs=np.zeros((3125, 6), np.float32),
+        geo_static=np.zeros((400_000, 31), np.float32),
+    )
+    assert trace_needs_streaming(big)
+    assert pallas_scene_supported(big)  # streams instead of XLA fallback
