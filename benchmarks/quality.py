@@ -38,7 +38,7 @@ def ground_truth(tri_data, camera, light, cfg, total_spp: int):
     return (acc / total_spp).astype(np.float32)
 
 
-def run(size: int, spp: int, frames: int):
+def run(size: int, spp: int, frames: int, variance_guided: bool = False):
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
         Camera,
@@ -49,7 +49,9 @@ def run(size: int, spp: int, frames: int):
         rmse,
     )
 
-    cfg = ptsf.RenderConfig(width=size, height=size)
+    cfg = ptsf.RenderConfig(
+        width=size, height=size, variance_guided=variance_guided
+    )
     scene = ptsf.Scene.cornell_box()
     td = precompute_triangle_data(scene)
     cam, light = Camera.default(), Light.default()
@@ -85,28 +87,37 @@ def main():
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--spp", type=int, default=1024)
     parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument(
+        "--skip-variance", action="store_true",
+        help="only measure reference-parity filtering",
+    )
     args = parser.parse_args()
-    stats = run(args.size, args.spp, args.frames)
-    improvement = stats["rmse_noisy_1spp"] / max(stats["rmse_denoised"], 1e-12)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"denoised rMSE vs {args.spp}-spp reference, "
-                    f"{args.size}x{args.size} Cornell (clamped [0,1])"
-                ),
-                "value": round(stats["rmse_denoised"], 6),
-                "unit": "rmse",
-                "noisy_1spp_rmse": round(stats["rmse_noisy_1spp"], 6),
-                "improvement_factor": round(improvement, 2),
-            }
+    for variance_guided in ([False] if args.skip_variance else [False, True]):
+        stats = run(args.size, args.spp, args.frames, variance_guided)
+        improvement = stats["rmse_noisy_1spp"] / max(
+            stats["rmse_denoised"], 1e-12
         )
-    )
-    print(
-        f"denoised {stats['rmse_denoised']:.4f} vs noisy "
-        f"{stats['rmse_noisy_1spp']:.4f} ({improvement:.1f}x better)",
-        file=sys.stderr,
-    )
+        mode = "variance-guided SVGF" if variance_guided else "reference parity"
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"denoised rMSE vs {args.spp}-spp reference, "
+                        f"{args.size}x{args.size} Cornell (clamped [0,1]), "
+                        f"{mode}"
+                    ),
+                    "value": round(stats["rmse_denoised"], 6),
+                    "unit": "rmse",
+                    "noisy_1spp_rmse": round(stats["rmse_noisy_1spp"], 6),
+                    "improvement_factor": round(improvement, 2),
+                }
+            )
+        )
+        print(
+            f"[{mode}] denoised {stats['rmse_denoised']:.4f} vs noisy "
+            f"{stats['rmse_noisy_1spp']:.4f} ({improvement:.1f}x better)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

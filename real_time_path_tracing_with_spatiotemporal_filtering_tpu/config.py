@@ -65,6 +65,21 @@ class RenderConfig:
     # for reference parity; on = alpha' = (1 - lambda)*alpha + lambda.
     adaptive_alpha: bool = False
 
+    # --- variance-guided filtering (full-SVGF extension) ---
+    # The reference's color weight is un-normalized (exp(-||cp-cq||/sigma_l),
+    # temporalFiltering.comp.glsl:72-74). With variance_guided=True the
+    # framework estimates per-pixel luminance variance (temporally
+    # accumulated first/second moments, SVGF Schied et al. 2017 section 4)
+    # and normalizes the luminance weight by the locally filtered stddev:
+    # w_l = exp(-|l_p - l_q| / (sigma_l * sqrt(gauss3x3(var)) + eps)).
+    # Off by default for reference parity (bit-identical when False).
+    variance_guided: bool = False
+    moments_alpha: float = 0.2       # EMA weight of the current moments
+    # For the first few frames the temporal variance estimate has too little
+    # history; use a 5x5 spatial moment estimate instead (paper section 4.2).
+    variance_boost_frames: int = 4
+    variance_eps: float = 1e-8       # stddev-denominator guard
+
     # --- interaction (main.cpp:68, 1119-1168) ---
     move_speed: float = 0.1
     light_x_wrap_lo: float = -20.0

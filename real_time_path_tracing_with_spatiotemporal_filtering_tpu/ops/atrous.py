@@ -111,6 +111,161 @@ def atrous_filter(color, normal_img, depth, cfg):
     return out
 
 
+# --- variance-guided filtering (full-SVGF extension; cfg.variance_guided) --
+#
+# The reference's luminance weight has no variance normalization
+# (temporalFiltering.comp.glsl:72-74); these functions implement the SVGF
+# estimator (Schied et al. 2017, section 4) the north-star target names:
+# temporally accumulated luminance moments -> per-pixel variance -> a
+# stddev-normalized w_l, with the variance filtered alongside the color.
+
+# Rec.709 luma coefficients (the SVGF paper's luminance).
+_LUMA = (0.2126, 0.7152, 0.0722)
+
+
+def luminance(rgb):
+    """(..., 3) -> (...) Rec.709 luminance."""
+    return (
+        jnp.float32(_LUMA[0]) * rgb[..., 0]
+        + jnp.float32(_LUMA[1]) * rgb[..., 1]
+        + jnp.float32(_LUMA[2]) * rgb[..., 2]
+    )
+
+
+def luminance_planes(r, g, b):
+    """Planar-channel twin of :func:`luminance` (Pallas frame path)."""
+    return (
+        jnp.float32(_LUMA[0]) * r
+        + jnp.float32(_LUMA[1]) * g
+        + jnp.float32(_LUMA[2]) * b
+    )
+
+
+def _box5(x, halo: int = 0):
+    """5x5 edge-clamped box filter (spatial moment estimate for young
+    history, SVGF section 4.2 -- the paper uses a 7x7 bilateral; a plain
+    5x5 box is the deliberate cheap stand-in, documented extension).
+    ``halo`` >= 2: rows pre-padded by the caller (sharded mode)."""
+    shape = x[halo : x.shape[0] - halo].shape if halo else x.shape
+    acc = jnp.zeros(shape, x.dtype)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            acc = acc + _tap(x, dy, dx, 1, halo)
+    return acc * jnp.float32(1.0 / 25.0)
+
+
+def spatial_variance(lum, halo: int = 0):
+    """5x5 spatial luminance variance estimate (young-history fallback).
+    With ``halo`` the input rows are pre-padded (globally exchanged) and
+    the output drops them."""
+    s1 = _box5(lum, halo)
+    s2 = _box5(lum * lum, halo)
+    return jnp.maximum(s2 - s1 * s1, 0.0)
+
+
+def _gather_aligned(img, prev_y, prev_x):
+    """``img[prev_y, prev_x]`` with the identity-map fast path (see
+    temporal_accumulate_at): a runtime lax.cond skips the expensive random
+    gather when the backprojection is the identity (static view). In
+    sharded mode ``img`` is the all-gathered full-height plane while the
+    indices cover a local slab -- the fast path does not apply there."""
+    h, w = prev_y.shape
+    if img.shape[:2] != (h, w):
+        return img[prev_y, prev_x]
+    own_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    own_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    aligned = jnp.all((prev_y == own_y) & (prev_x == own_x))
+    return jax.lax.cond(
+        aligned, lambda im: im, lambda im: im[prev_y, prev_x], img
+    )
+
+
+def accumulate_moments(
+    lum, prev_moments, prev_y, prev_x, frame_idx, cfg, var_spatial=None
+):
+    """Temporal EMA of the (mu1, mu2) luminance moments at the backprojected
+    pixel; ``lum`` is the current frame's luminance plane. Returns
+    (new_moments (H, W, 2), variance (H, W)).
+
+    Variance = max(0, mu2 - mu1^2) from the accumulated moments; for the
+    first cfg.variance_boost_frames frames a 5x5 spatial estimate of the
+    current frame's moments substitutes (not enough temporal history).
+    ``var_spatial``: precomputed :func:`spatial_variance` (sharded mode
+    passes a halo-exchanged one; the local default clamps at shard
+    edges)."""
+    m_now = jnp.stack([lum, lum * lum], axis=-1)
+    reproj = _gather_aligned(prev_moments, prev_y, prev_x)
+    a = jnp.float32(cfg.moments_alpha)
+    m = reproj * (1.0 - a) + m_now * a
+    m = jnp.where(frame_idx > 0, m, m_now)
+    var_t = jnp.maximum(m[..., 1] - m[..., 0] * m[..., 0], 0.0)
+    var_s = spatial_variance(lum) if var_spatial is None else var_spatial
+    var = jnp.where(frame_idx >= cfg.variance_boost_frames, var_t, var_s)
+    return m, var
+
+
+def _gauss3(x, halo: int = 0):
+    """3x3 [1/4, 1/2, 1/4]^2 gaussian, edge-clamped (the variance prefilter
+    of SVGF eq. 5). Direct 9-tap sum -- the same accumulation order as the
+    Pallas kernel and the sharded halo path, so all three stay bit-equal."""
+    shape = x[halo : x.shape[0] - halo].shape if halo else x.shape
+    g = jnp.zeros(shape, x.dtype)
+    w3 = (jnp.float32(0.25), jnp.float32(0.5), jnp.float32(0.25))
+    for gy, wy in zip((-1, 0, 1), w3):
+        for gx, wx in zip((-1, 0, 1), w3):
+            g = g + wy * wx * _tap(x, gy, gx, 1, halo)
+    return g
+
+
+def atrous_iteration_var(color, var, normal_img, depth, k: int, cfg, halo: int = 0):
+    """One variance-guided wavelet iteration at stride k.
+
+    Same taps/normal/depth weights as :func:`atrous_iteration`; the
+    luminance weight is |l_p - l_q| normalized by the gaussian-prefiltered
+    stddev (SVGF eq. 5), and the variance is propagated through the filter
+    as var' = sum(h w)^2 var_q / (sum h w)^2. ``halo`` as in
+    :func:`atrous_iteration` (sharded mode row halos)."""
+    if halo:
+        center = slice(halo, color.shape[0] - halo)
+        cp, np_, dp = color[center], normal_img[center], depth[center]
+    else:
+        cp, np_, dp = color, normal_img, depth
+    g = _gauss3(var, halo)
+    lp = luminance(cp)
+    denom_l = jnp.float32(cfg.sigma_l) * jnp.sqrt(g) + jnp.float32(
+        cfg.variance_eps
+    )
+    num = jnp.zeros_like(cp)
+    vnum = jnp.zeros_like(g)
+    den = jnp.zeros_like(dp)
+    h_box = jnp.float32(1.0 / 9.0)
+    for i in (-1, 0, 1):
+        for j in (-1, 0, 1):
+            cq = _tap(color, j, i, k, halo)
+            nq = _tap(normal_img, j, i, k, halo)
+            dq = _tap(depth, j, i, k, halo)
+            vq = _tap(var, j, i, k, halo)
+            w_n = jnp.power(
+                jnp.maximum(jnp.sum(np_ * nq, axis=-1), 0.0),
+                jnp.float32(cfg.sigma_n),
+            )
+            w_z = jnp.exp(-jnp.abs(dp - dq) / jnp.float32(cfg.sigma_z))
+            w_l = jnp.exp(-jnp.abs(lp - luminance(cq)) / denom_l)
+            hw = h_box * w_n * w_z * w_l
+            num = num + hw[..., None] * cq
+            vnum = vnum + hw * hw * vq
+            den = den + hw
+    return num / den[..., None], vnum / (den * den)
+
+
+def atrous_filter_var(color, var, normal_img, depth, cfg):
+    """All iterations of the variance-guided filter; returns (color', var')."""
+    out, v = color, var
+    for k in range(1, cfg.wavelet_iterations + 1):
+        out, v = atrous_iteration_var(out, v, normal_img, depth, k, cfg)
+    return out, v
+
+
 def backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg, row_offset=0):
     """Previous-frame integer pixel of each surface pixel
     (temporalFiltering.comp.glsl:213-239). Background keeps its own pixel.

@@ -101,6 +101,152 @@ def _iter_kernel(cr, cg, cb, nx, ny, nz, dd, out_r, out_g, out_b,
     out_b[:] = num_b * inv_den
 
 
+def _iter_var_kernel(cr, cg, cb, vv, nx, ny, nz, dd,
+                     out_r, out_g, out_b, out_v,
+                     scr, sem, *, k, cfg, width):
+    """One variance-guided wavelet iteration at stride k (SVGF extension;
+    numerics match ops.atrous.atrous_iteration_var op-for-op).
+
+    ``scr``: (8, TILE_ROWS + 2*PAD_ROWS, padded_width) VMEM scratch;
+    channel order cr, cg, cb, var, nx, ny, nz, depth.
+    """
+    i = pl.program_id(0)
+    rows = TILE_ROWS + 2 * PAD_ROWS
+    row_start = i * TILE_ROWS
+
+    planes = (cr, cg, cb, vv, nx, ny, nz, dd)
+    copies = [
+        pltpu.make_async_copy(
+            ref.at[pl.ds(row_start, rows), :], scr.at[c], sem.at[c]
+        )
+        for c, ref in enumerate(planes)
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    def window(c, dy, dx):
+        r0 = PAD_ROWS + dy
+        c0 = PAD_COLS + dx
+        return scr[c, r0 : r0 + TILE_ROWS, c0 : c0 + width]
+
+    lr, lg, lb = (
+        jnp.float32(0.2126), jnp.float32(0.7152), jnp.float32(0.0722),
+    )
+
+    def lum(dy, dx):
+        return (
+            lr * window(0, dy, dx)
+            + lg * window(1, dy, dx)
+            + lb * window(2, dy, dx)
+        )
+
+    cpr, cpg, cpb = window(0, 0, 0), window(1, 0, 0), window(2, 0, 0)
+    npx, npy, npz = window(4, 0, 0), window(5, 0, 0), window(6, 0, 0)
+    dp = window(7, 0, 0)
+    lp = lr * cpr + lg * cpg + lb * cpb
+
+    # 3x3 [1/4,1/2,1/4]^2 gaussian prefilter of the variance (SVGF eq. 5)
+    w3 = (jnp.float32(0.25), jnp.float32(0.5), jnp.float32(0.25))
+    g = jnp.zeros_like(dp)
+    for gy, wy in zip((-1, 0, 1), w3):
+        for gx_, wx_ in zip((-1, 0, 1), w3):
+            g = g + wy * wx_ * window(3, gy, gx_)
+    inv_dl = 1.0 / (
+        jnp.float32(cfg.sigma_l) * jnp.sqrt(g) + jnp.float32(cfg.variance_eps)
+    )
+
+    num_r = jnp.zeros_like(cpr)
+    num_g = jnp.zeros_like(cpr)
+    num_b = jnp.zeros_like(cpr)
+    vnum = jnp.zeros_like(cpr)
+    den = jnp.zeros_like(cpr)
+    h_box = jnp.float32(1.0 / 9.0)
+    sig_n = jnp.float32(cfg.sigma_n)
+    inv_sz = jnp.float32(1.0 / cfg.sigma_z)
+
+    for ix in (-1, 0, 1):
+        for jy in (-1, 0, 1):
+            nqx = window(4, jy * k, ix * k)
+            nqy = window(5, jy * k, ix * k)
+            nqz = window(6, jy * k, ix * k)
+            dq = window(7, jy * k, ix * k)
+            ndot = jnp.maximum(npx * nqx + npy * nqy + npz * nqz, 0.0)
+            w_n = jnp.power(ndot, sig_n)
+            w_z = jnp.exp(-jnp.abs(dp - dq) * inv_sz)
+            w_l = jnp.exp(-jnp.abs(lp - lum(jy * k, ix * k)) * inv_dl)
+            hw = h_box * w_n * w_z * w_l
+            num_r = num_r + hw * window(0, jy * k, ix * k)
+            num_g = num_g + hw * window(1, jy * k, ix * k)
+            num_b = num_b + hw * window(2, jy * k, ix * k)
+            vnum = vnum + hw * hw * window(3, jy * k, ix * k)
+            den = den + hw
+
+    inv_den = 1.0 / den
+    out_r[:] = num_r * inv_den
+    out_g[:] = num_g * inv_den
+    out_b[:] = num_b * inv_den
+    out_v[:] = vnum * inv_den * inv_den
+
+
+def atrous_filter_var_pallas(color, var, normal, depth, cfg, interpret=False):
+    """All variance-guided iterations (strides 1..n); planar or stacked
+    inputs like :func:`atrous_filter_pallas`. Returns ((H, W, 3), (H, W)).
+
+    Falls back to the XLA formulation when the shape is unsupported."""
+    if isinstance(color, tuple):
+        cr, cg, cb = color
+    else:
+        cr, cg, cb = color[..., 0], color[..., 1], color[..., 2]
+    if isinstance(normal, tuple):
+        nx, ny, nz = normal
+    else:
+        nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+    h, w = cr.shape
+
+    if not supported(h, w, cfg):
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.atrous import (
+            atrous_filter_var,
+        )
+
+        color_img = jnp.stack([cr, cg, cb], axis=-1)
+        normal_img = jnp.stack([nx, ny, nz], axis=-1)
+        return atrous_filter_var(color_img, var, normal_img, depth, cfg)
+
+    padded_w = _round_up(w + 2 * PAD_COLS, 128)
+    nx_p, ny_p, nz_p = (
+        _pad_plane(nx, padded_w),
+        _pad_plane(ny, padded_w),
+        _pad_plane(nz, padded_w),
+    )
+    dd_p = _pad_plane(depth, padded_w)
+
+    grid = (h // TILE_ROWS,)
+    rows = TILE_ROWS + 2 * PAD_ROWS
+    for k in range(1, cfg.wavelet_iterations + 1):
+        kernel = functools.partial(_iter_var_kernel, k=k, cfg=cfg, width=w)
+        cr_p = _pad_plane(cr, padded_w)
+        cg_p = _pad_plane(cg, padded_w)
+        cb_p = _pad_plane(cb, padded_w)
+        vv_p = _pad_plane(var, padded_w)
+        cr, cg, cb, var = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
+            out_specs=[
+                pl.BlockSpec((TILE_ROWS, w), lambda i: (i, 0)),
+            ] * 4,
+            out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((8, rows, padded_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((8,)),
+            ],
+            interpret=interpret,
+        )(cr_p, cg_p, cb_p, vv_p, nx_p, ny_p, nz_p, dd_p)
+    return jnp.stack([cr, cg, cb], axis=-1), var
+
+
 def _pad_plane(x, padded_w):
     w = x.shape[1]
     return jnp.pad(

@@ -1,0 +1,425 @@
+"""Wavefront path tracer: per-segment kernels + global ray sorting.
+
+The megakernel (ops/pallas/pathtrace.py) runs the whole bounce loop inside
+one kernel, so a tile's rays stay in their launch order forever: after the
+first diffuse bounce the 4096 rays of a tile point every which way, the
+per-tile union of ray frusta covers most of the scene, and AABB culling
+degrades to 30-50% (measured, docs/DESIGN_ROUND2.md section 1c). GPUs hide
+this with per-ray hardware BVH traversal (VK_KHR_ray_query,
+raytrace.comp.glsl:208-222); a TPU lane cannot follow its own traversal
+path, so the fix must come from *reordering the rays themselves*.
+
+This module restructures the trace into a wavefront: one Pallas kernel per
+bounce segment over flat ray arrays, with the rays periodically re-sorted
+by (origin Morton cell, direction octant). Sorted tiles are spatially and
+directionally coherent, so the ordered streamed traversal
+(_ordered_stream_loop) skips most clusters per tile. XLA's multi-operand
+``lax.sort`` moves the whole ray state along with the keys in one
+vectorized sorting network -- crucially NOT a gather (XLA TPU gathers cost
+~25 ns/row, measured; the sort moves 15 planes in ~25 ms at 2M rays).
+Termination compacts for free: dead rays sort to the tail, and their tiles
+exit after one whole-tile check.
+
+Numerics are bit-identical to the megakernel: ray generation replays the
+same PCG draws (the XLA twin of the in-kernel _pcg, same bitcast
+semantics), each ray carries its RNG state through the sort, and the
+per-segment shading is the shared _shade_segment. Only the order in which
+clusters get *tested* differs, which cannot change a committed nearest hit
+(see _ordered_stream_loop).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+    NBINS,
+    PAIR_COLS,
+    TILE_H,
+    TILE_W,
+    _ordered_stream_loop,
+    _pair_test,
+    _shade_segment,
+    hierarchy_sizes,
+)
+
+_U = jnp.uint32
+_LANES = TILE_H * TILE_W  # rays per kernel program
+
+
+def _pcg_xla(state):
+    """XLA twin of pathtrace._pcg: identical ops (lax.bitcast for the
+    Mosaic-safe signed-view uint->float conversion), identical streams."""
+    state = state * _U(747796405) + _U(1)
+    word = ((state >> ((state >> _U(28)) + _U(4))) ^ state) * _U(277803737)
+    word = (word >> _U(22)) ^ word
+    signed = jax.lax.bitcast_convert_type(word, jnp.int32)
+    f = signed.astype(jnp.float32)
+    f = jnp.where(signed < 0, f + np.float32(4294967296.0), f)
+    return state, f * np.float32(1.0 / 4294967295.0)
+
+
+def _spread4(x):
+    """Spread the low 4 bits of x to every 3rd bit (Morton interleave)."""
+    return (
+        (x & 1)
+        | ((x & 2) << 2)
+        | ((x & 4) << 4)
+        | ((x & 8) << 6)
+    )
+
+
+def _sort_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_size):
+    """Coherence key: 12-bit origin Morton cell (16^3 grid over the scene
+    AABB) then 3-bit direction octant; dead rays sort to the tail."""
+    def cell(o, axis):
+        q = ((o - lo[axis]) * inv_size[axis] * jnp.float32(16.0)).astype(
+            jnp.int32
+        )
+        return jnp.clip(q, 0, 15)
+
+    m = (
+        _spread4(cell(ox, 0))
+        | (_spread4(cell(oy, 1)) << 1)
+        | (_spread4(cell(oz, 2)) << 2)
+    )
+    oct3 = (
+        (dx > 0.0).astype(jnp.int32) * 4
+        + (dy > 0.0).astype(jnp.int32) * 2
+        + (dz > 0.0).astype(jnp.int32)
+    )
+    key = (m << 3) | oct3
+    return jnp.where(alive != 0, key, jnp.int32(1 << 30))
+
+
+def _scene_bounds(cluster_aabbs):
+    """(lo (3,), inv_size (3,), inv_diam ()) from the cluster AABB table,
+    masking degenerate +/-1e30 pad rows. In-graph (tables may be traced)."""
+    finite = cluster_aabbs[:, 0] < 1e29
+    lo = jnp.min(
+        jnp.where(finite[:, None], cluster_aabbs[:, :3], jnp.inf), axis=0
+    )
+    hi = jnp.max(
+        jnp.where(finite[:, None], cluster_aabbs[:, 3:], -jnp.inf), axis=0
+    )
+    size = jnp.maximum(hi - lo, 1e-6)
+    inv_diam = 1.0 / jnp.maximum(jnp.linalg.norm(hi - lo), 1e-6)
+    return lo, 1.0 / size, inv_diam
+
+
+def _wavefront_kernel(
+    fparams_ref, iparams_ref, table_ref, caabb_ref, saabb_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+    tpr_r, tpg_r, tpb_r, rsr_r, rsg_r, rsb_r, st_r, al_r,
+    o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
+    o_tpr, o_tpg, o_tpb, o_rsr, o_rsg, o_rsb, o_st, o_al,
+    bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+    *, cfg, num_clusters, csize, num_supers, ssize,
+):
+    """One bounce segment over a (TILE_H, TILE_W) block of sorted rays."""
+    lx, ly, lz = fparams_ref[0], fparams_ref[1], fparams_ref[2]
+    hdr_r, hdr_g, hdr_b = fparams_ref[3], fparams_ref[4], fparams_ref[5]
+    radius = fparams_ref[6]
+    inv_diam = fparams_ref[7]
+    seg = iparams_ref[0]
+    inv_first_dim = jnp.float32(1.0 / cfg.first_hit_light_dim)
+    eps_off = jnp.float32(cfg.ray_offset_eps)
+
+    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+    tp_r, tp_g, tp_b = tpr_r[:], tpg_r[:], tpb_r[:]
+    res_r, res_g, res_b = rsr_r[:], rsg_r[:], rsb_r[:]
+    st = st_r[:]
+    alive_i = al_r[:]
+    alive = alive_i != 0
+
+    def live(args):
+        (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+         res_r, res_g, res_b, st, alive_i) = args
+        alive = alive_i != 0
+        big = jnp.float32(cfg.t_max) * jnp.float32(2.0)
+        zero = jnp.zeros_like(ox)
+        init = (
+            jnp.full_like(ox, big),
+            jnp.zeros_like(ox, dtype=jnp.int32),
+            zero, zero, zero, zero, zero, zero,
+        )
+
+        def row(buf, j, s2):
+            return _pair_test(buf, j, ox, oy, oz, dx, dy, dz, s2, cfg)
+
+        o_s = _ordered_stream_loop(
+            table_ref, caabb_ref, saabb_ref,
+            num_clusters, csize, num_supers, ssize,
+            ox, oy, oz, dx, dy, dz, alive, inv_diam,
+            row, init,
+            bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+        )
+        best_t, hit = o_s[0], o_s[1] != 0
+        (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+         res_r, res_g, res_b, tri_hit, st) = _shade_segment(
+            seg, ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+            res_r, res_g, res_b, alive, st,
+            best_t, hit, o_s[2], o_s[3], o_s[4], o_s[5], o_s[6], o_s[7],
+            lx, ly, lz, hdr_r, hdr_g, hdr_b, radius,
+            inv_first_dim, eps_off, cfg,
+        )
+        return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+                res_r, res_g, res_b, st, tri_hit.astype(jnp.int32))
+
+    args = (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+            res_r, res_g, res_b, st, alive_i)
+    # whole-tile skip: sorted dead rays cluster into fully-dead tiles
+    out = jax.lax.cond(jnp.any(alive), live, lambda a: a, args)
+    (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+     res_r, res_g, res_b, st, alive_i) = out
+
+    o_ox[:] = ox
+    o_oy[:] = oy
+    o_oz[:] = oz
+    o_dx[:] = dx
+    o_dy[:] = dy
+    o_dz[:] = dz
+    o_tpr[:] = tp_r
+    o_tpg[:] = tp_g
+    o_tpb[:] = tp_b
+    o_rsr[:] = res_r
+    o_rsg[:] = res_g
+    o_rsb[:] = res_b
+    o_st[:] = st
+    o_al[:] = alive_i
+
+
+# Segments after which the surviving rays are re-sorted by coherence key.
+# Segment 1 is where directions first scatter (primary rays are generated
+# coherent); later re-sorts re-compact as terminations accumulate.
+SORT_SEGMENTS = (1, 2, 4, 8, 16)
+
+
+def path_trace_wavefront(
+    tri_data, camera_pos, light, frame_idx, cfg,
+    row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
+):
+    """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
+
+    Requires a pair table + cluster hierarchy (pack_shading_pairs /
+    build_hierarchy); the table streams from HBM regardless of size.
+    Returns (rows, W, 3) radiance (or three planes when ``planar``),
+    bit-identical to the megakernel."""
+    h = cfg.height if rows is None else rows
+    w = cfg.width
+    pair_table = tri_data.pair_table
+    cluster_aabbs = tri_data.cluster_aabbs
+    super_aabbs = tri_data.super_aabbs
+    if pair_table is None or cluster_aabbs is None:
+        raise ValueError("wavefront tracer requires a clustered pair table")
+    csize, num_clusters, ssize, num_supers = hierarchy_sizes(
+        int(pair_table.shape[0])
+    )
+    table = pair_table
+    padded_rows = num_clusters * csize
+    if int(table.shape[0]) < padded_rows:
+        table = jnp.concatenate(
+            [
+                table,
+                jnp.zeros(
+                    (padded_rows - int(table.shape[0]), PAIR_COLS), jnp.float32
+                ),
+            ]
+        )
+    # HBM rows padded to 128 columns (DMA lane alignment)
+    table = jnp.concatenate(
+        [table, jnp.zeros((int(table.shape[0]), 128 - PAIR_COLS), jnp.float32)],
+        axis=1,
+    )
+    if super_aabbs is None:
+        super_aabbs = jnp.zeros((1, 6), jnp.float32)
+
+    if rotation is None:
+        rotation = jnp.eye(3, dtype=jnp.float32)
+    rot = jnp.asarray(rotation, jnp.float32)
+    cam = jnp.asarray(camera_pos, jnp.float32)
+    lo, inv_size, inv_diam = _scene_bounds(cluster_aabbs)
+
+    n_pix = h * w
+    n = -(-n_pix // _LANES) * _LANES
+    n_rows = n // TILE_W
+
+    # --- ray generation (XLA; same PCG stream as the megakernel) ---
+    pix = jnp.arange(n, dtype=jnp.int32)
+    py = jnp.minimum(pix // w, h - 1) + row_offset
+    px = jnp.where(pix < n_pix, pix % w, 0)
+    in_image = pix < n_pix
+    frame_term = (
+        jnp.asarray(frame_idx, jnp.int32).astype(jnp.uint32)
+        * _U(374761393)
+    )
+    slope = jnp.float32(math.tan(cfg.fov))
+    wf = jnp.float32(cfg.width)
+    hf = jnp.float32(cfg.height)
+    inv_h = jnp.float32(1.0) / hf
+
+    hdr = jnp.asarray(light.color, jnp.float32) * cfg.light_intensity
+    fparams = jnp.concatenate(
+        [
+            jnp.asarray(light.position, jnp.float32).reshape(3),
+            hdr.reshape(3),
+            jnp.array([cfg.light_radius], jnp.float32),
+            jnp.asarray(inv_diam, jnp.float32).reshape(1),
+        ]
+    )
+
+    grid = (n_rows // TILE_H,)
+    plane_shape = (n_rows, TILE_W)
+    kernel = functools.partial(
+        _wavefront_kernel, cfg=cfg,
+        num_clusters=num_clusters, csize=csize,
+        num_supers=num_supers, ssize=ssize,
+    )
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct(plane_shape, f32)] * 12
+        + [
+            jax.ShapeDtypeStruct(plane_shape, jnp.uint32),
+            jax.ShapeDtypeStruct(plane_shape, jnp.int32),
+        ]
+    )
+    plane_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i: (i, 0))
+
+    def run_segment(seg, planes):
+        iparams = jnp.asarray(seg, jnp.int32).reshape(1)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ]
+            + [plane_spec] * 14,
+            out_specs=[plane_spec] * 14,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.SMEM((num_clusters,), jnp.int32),
+                pltpu.SMEM((num_clusters,), jnp.int32),
+                pltpu.SMEM((NBINS,), jnp.int32),
+                pltpu.SMEM((csize, 128), f32),
+                pltpu.SMEM((csize, 128), f32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(fparams, iparams, table, cluster_aabbs, super_aabbs, *planes)
+        return tuple(outs)
+
+    def sort_planes(planes, pix_plane):
+        (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+         res_r, res_g, res_b, st, alive_i) = [p.reshape(n) for p in planes]
+        key = _sort_key(
+            ox, oy, oz, dx, dy, dz, alive_i, lo, inv_size
+        )
+        sorted_ops = jax.lax.sort(
+            (key, ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+             res_r, res_g, res_b, st, alive_i, pix_plane.reshape(n)),
+            num_keys=1,
+        )
+        planes = tuple(p.reshape(plane_shape) for p in sorted_ops[1:15])
+        return planes, sorted_ops[15].reshape(plane_shape)
+
+    acc_r = jnp.zeros(n, f32)
+    acc_g = jnp.zeros(n, f32)
+    acc_b = jnp.zeros(n, f32)
+
+    for batch in range(cfg.sample_batches):
+        seed = (
+            px.astype(jnp.uint32) * _U(3266489917)
+            + py.astype(jnp.uint32) * _U(668265263)
+        ) ^ frame_term ^ (_U(batch) * _U(2654435761))
+        state = seed
+        for _sample in range(cfg.spp):
+            # AA jitter (raytrace.comp.glsl:84-92, 314); state advances by
+            # exactly two draws per sample as in the megakernel
+            state, u1 = _pcg_xla(state)
+            state, u2 = _pcg_xla(state)
+            u1 = jnp.maximum(jnp.float32(1e-38), u1)
+            r_g = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+            theta_g = np.float32(2.0 * 3.14159265) * u2
+            jx = jnp.float32(cfg.aa_sigma) * r_g * jnp.cos(theta_g)
+            jy = jnp.float32(cfg.aa_sigma) * r_g * jnp.sin(theta_g)
+            fx = px.astype(f32) + jnp.float32(0.5) + jx
+            fy = py.astype(f32) + jnp.float32(0.5) + jy
+            su = (jnp.float32(2.0) * fx - wf) * inv_h
+            sv = -(jnp.float32(2.0) * fy - hf) * inv_h
+            cx_ = slope * su
+            cy_ = slope * sv
+            ddx = rot[0, 0] * cx_ + rot[0, 1] * cy_ - rot[0, 2]
+            ddy = rot[1, 0] * cx_ + rot[1, 1] * cy_ - rot[1, 2]
+            ddz = rot[2, 0] * cx_ + rot[2, 1] * cy_ - rot[2, 2]
+            inv_n = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            ddx, ddy, ddz = ddx * inv_n, ddy * inv_n, ddz * inv_n
+
+            planes = tuple(
+                p.reshape(plane_shape)
+                for p in (
+                    jnp.full(n, cam[0], f32),
+                    jnp.full(n, cam[1], f32),
+                    jnp.full(n, cam[2], f32),
+                    ddx, ddy, ddz,
+                    jnp.ones(n, f32), jnp.ones(n, f32), jnp.ones(n, f32),
+                    jnp.zeros(n, f32), jnp.zeros(n, f32), jnp.zeros(n, f32),
+                    state,
+                    in_image.astype(jnp.int32),
+                )
+            )
+            pix_plane = pix.reshape(plane_shape)
+
+            def cond(c):
+                seg, planes, _ = c
+                return (seg < cfg.max_bounces) & (jnp.max(planes[13]) > 0)
+
+            def body(c):
+                seg, planes, pix_plane = c
+                do_sort = jnp.zeros((), jnp.bool_)
+                for s in SORT_SEGMENTS:
+                    do_sort = do_sort | (seg == s)
+                planes, pix_plane = jax.lax.cond(
+                    do_sort,
+                    lambda p, q: sort_planes(p, q),
+                    lambda p, q: (p, q),
+                    planes, pix_plane,
+                )
+                planes = run_segment(seg, planes)
+                return seg + 1, planes, pix_plane
+
+            _, planes, pix_plane = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), planes, pix_plane)
+            )
+            # fall-through: surviving paths keep bare throughput
+            # (raytrace.comp.glsl:270)
+            alive_f = planes[13].reshape(n) != 0
+            res_r = jnp.where(alive_f, planes[6].reshape(n), planes[9].reshape(n))
+            res_g = jnp.where(alive_f, planes[7].reshape(n), planes[10].reshape(n))
+            res_b = jnp.where(alive_f, planes[8].reshape(n), planes[11].reshape(n))
+            # descramble: one 4-operand sort by pixel id (unique keys)
+            _, r_p, g_p, b_p = jax.lax.sort(
+                (pix_plane.reshape(n), res_r, res_g, res_b), num_keys=1
+            )
+            acc_r = acc_r + r_p
+            acc_g = acc_g + g_p
+            acc_b = acc_b + b_p
+
+    norm = jnp.float32(1.0 / (cfg.spp * cfg.sample_batches))
+    r_img = (acc_r * norm)[:n_pix].reshape(h, w)
+    g_img = (acc_g * norm)[:n_pix].reshape(h, w)
+    b_img = (acc_b * norm)[:n_pix].reshape(h, w)
+    if planar:
+        return r_img, g_img, b_img
+    return jnp.stack([r_img, g_img, b_img], axis=-1)

@@ -43,7 +43,7 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.history i
 )
 
 
-def _history_spec(axis: str) -> History:
+def _history_spec(axis: str, variance_guided: bool = False) -> History:
     """PartitionSpec pytree for History: image planes row-sharded, scene/
     camera state replicated."""
     return History(
@@ -55,6 +55,7 @@ def _history_spec(axis: str) -> History:
         light_pos=P(),
         light_color=P(),
         frame=P(),
+        moments=P(axis) if variance_guided else None,
     )
 
 
@@ -122,14 +123,48 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
             row_offset=row_offset, rows=local_h, rotation=camera.rotation,
         )
 
+    if cfg.variance_guided:
+        # backprojected coordinates are GLOBAL; gather from the all-gathered
+        # previous moments (same pattern as the color history below)
+        if use_pallas:
+            py, px = geo.prev_y, geo.prev_x
+        else:
+            py, px = atrous.backproject_pixels(
+                gbuf, history_local.lut, history_local.view,
+                history_local.proj, cfg, row_offset=row_offset,
+            )
+        moments_full = jax.lax.all_gather(
+            history_local.moments, axis, axis=0, tiled=True
+        )
+        lum = atrous.luminance(noisy)
+        # young-history spatial estimate needs cross-shard rows (5x5 box)
+        var_spatial = atrous.spatial_variance(
+            exchange_row_halo(lum, 2, axis), halo=2
+        )
+        moments, v = atrous.accumulate_moments(
+            lum, moments_full, py, px, frame_idx, cfg,
+            var_spatial=var_spatial,
+        )
+    else:
+        moments = None
+
     c = noisy
     for k in range(1, cfg.wavelet_iterations + 1):
-        c = atrous.atrous_iteration(
-            exchange_row_halo(c, k, axis),
-            exchange_row_halo(normal_img, k, axis),
-            exchange_row_halo(depth, k, axis),
-            k, cfg, halo=k,
-        )
+        if cfg.variance_guided:
+            c, v = atrous.atrous_iteration_var(
+                exchange_row_halo(c, k, axis),
+                exchange_row_halo(v, k, axis),
+                exchange_row_halo(normal_img, k, axis),
+                exchange_row_halo(depth, k, axis),
+                k, cfg, halo=k,
+            )
+        else:
+            c = atrous.atrous_iteration(
+                exchange_row_halo(c, k, axis),
+                exchange_row_halo(normal_img, k, axis),
+                exchange_row_halo(depth, k, axis),
+                k, cfg, halo=k,
+            )
 
     prev_full = jax.lax.all_gather(history_local.image, axis, axis=0, tiled=True)
     if use_pallas:
@@ -152,6 +187,7 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         light_pos=light.position,
         light_color=light.color,
         frame=frame_idx + 1,
+        moments=moments,
     )
     return rgb, new_history
 
@@ -173,7 +209,7 @@ def make_sharded_frame(cfg: RenderConfig, mesh, axis: str = ROW_AXIS):
             f"widest halo ({cfg.height // n} < {cfg.wavelet_iterations})"
         )
 
-    hist_spec = _history_spec(axis)
+    hist_spec = _history_spec(axis, cfg.variance_guided)
     shard_fn = jax.shard_map(
         functools.partial(_frame_shard, cfg=cfg, axis=axis),
         mesh=mesh,
@@ -195,7 +231,8 @@ def init_sharded_history(tri_data, cfg: RenderConfig, mesh, axis: str = ROW_AXIS
     # explicit leaf predicate rather than tree_map'ing over both trees.
     leaves, treedef = jax.tree_util.tree_flatten(hist)
     specs = jax.tree_util.tree_leaves(
-        _history_spec(axis), is_leaf=lambda x: isinstance(x, P)
+        _history_spec(axis, cfg.variance_guided),
+        is_leaf=lambda x: isinstance(x, P),
     )
     placed = [
         jax.device_put(x, NamedSharding(mesh, s)) for x, s in zip(leaves, specs)

@@ -137,18 +137,35 @@ def render_frame_impl(
 
     # -- pass 4: a-trous filter + temporal EMA (temporalFiltering.comp.glsl) --
     normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
-    filtered = atrous.atrous_filter(noisy, normal_img, gbuf.depth, cfg)
-    rgb = atrous.temporal_accumulate(
-        filtered,
-        history.image,
-        gbuf,
-        history.lut,
-        history.view,
-        history.proj,
-        frame_idx,
-        lam,
-        cfg,
-    )
+    if cfg.variance_guided:
+        # SVGF extension (config.py): moments reprojected with the same
+        # backprojection as the color history, variance-normalized w_l.
+        py, px = atrous.backproject_pixels(
+            gbuf, history.lut, history.view, history.proj, cfg
+        )
+        moments, var = atrous.accumulate_moments(
+            atrous.luminance(noisy), history.moments, py, px, frame_idx, cfg
+        )
+        filtered, _ = atrous.atrous_filter_var(
+            noisy, var, normal_img, gbuf.depth, cfg
+        )
+        rgb = atrous.temporal_accumulate_at(
+            filtered, history.image, py, px, frame_idx, lam, cfg
+        )
+    else:
+        moments = None
+        filtered = atrous.atrous_filter(noisy, normal_img, gbuf.depth, cfg)
+        rgb = atrous.temporal_accumulate(
+            filtered,
+            history.image,
+            gbuf,
+            history.lut,
+            history.view,
+            history.proj,
+            frame_idx,
+            lam,
+            cfg,
+        )
 
     # -- history commit (the reference's end-of-frame blits, main.cpp:1361-72)
     new_history = History(
@@ -160,6 +177,7 @@ def render_frame_impl(
         light_pos=light.position,
         light_color=light.color,
         frame=frame_idx + 1,
+        moments=moments,
     )
     return rgb, new_history
 
@@ -189,9 +207,19 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         interpret=interpret, planar=True, rotation=camera.rotation,
         stream_tables=pt_mod.trace_needs_streaming(tri_data),
     )
-    filtered = atrous_pl.atrous_filter_pallas(
-        noisy, geo.normal, geo.depth, cfg, interpret=interpret
-    )
+    if cfg.variance_guided:
+        moments, var = atrous.accumulate_moments(
+            atrous.luminance_planes(*noisy), history.moments,
+            geo.prev_y, geo.prev_x, frame_idx, cfg,
+        )
+        filtered, _ = atrous_pl.atrous_filter_var_pallas(
+            noisy, var, geo.normal, geo.depth, cfg, interpret=interpret
+        )
+    else:
+        moments = None
+        filtered = atrous_pl.atrous_filter_pallas(
+            noisy, geo.normal, geo.depth, cfg, interpret=interpret
+        )
     rgb = atrous.temporal_accumulate_at(
         filtered, history.image, geo.prev_y, geo.prev_x, frame_idx, geo.lam, cfg
     )
@@ -204,6 +232,7 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         light_pos=light.position,
         light_color=light.color,
         frame=frame_idx + 1,
+        moments=moments,
     )
     return rgb, new_history
 
@@ -240,4 +269,9 @@ def init_history(tri_data: TriangleData, cfg: RenderConfig) -> History:
         light_pos=light.position,
         light_color=light.color,
         frame=jnp.zeros((), jnp.int32),
+        moments=(
+            jnp.zeros((cfg.height, cfg.width, 2), jnp.float32)
+            if cfg.variance_guided
+            else None
+        ),
     )

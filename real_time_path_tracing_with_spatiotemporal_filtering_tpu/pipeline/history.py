@@ -32,6 +32,10 @@ class History:
     light_pos: jnp.ndarray        # (3,) previous light position
     light_color: jnp.ndarray     # (3,) previous light base color
     frame: jnp.ndarray            # () int32 frame counter
+    # (H, W, 2) temporally accumulated luminance moments (mu1, mu2) for
+    # variance-guided filtering; None unless cfg.variance_guided (the
+    # reference has no equivalent -- SVGF extension, see config.py).
+    moments: jnp.ndarray | None = None
 
     @property
     def height(self) -> int:

@@ -160,12 +160,13 @@ class TriangleData:
 
 
 # Above this triangle count the base tables are built with numpy instead of
-# eager jnp (which costs seconds of per-op dispatch at 250k tris). The two
-# paths differ by <= 1 ulp (XLA's CPU cross product uses FMA, numpy's
-# cannot), so small scenes keep the jax path to hold golden snapshots and
-# round-1 outputs bit-stable; at large-scene sizes both render backends
-# consume the same tables, so the ulp never becomes a parity issue.
-_NUMPY_PREP_MIN_TRIS = 16384
+# eager jnp (which costs seconds of per-op dispatch at 250k tris -- and tens
+# of seconds over the axon TPU tunnel at ~30 ms/dispatch even at 2k tris).
+# The two paths differ by <= 1 ulp (XLA's CPU cross product uses FMA,
+# numpy's cannot), so small scenes keep the jax path to hold golden
+# snapshots and round-1 outputs bit-stable; at large-scene sizes both render
+# backends consume the same tables, so the ulp never becomes a parity issue.
+_NUMPY_PREP_MIN_TRIS = 1024
 
 
 def _base_tables_np(tris: np.ndarray):

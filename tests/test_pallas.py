@@ -336,11 +336,19 @@ def test_streaming_routing():
         precompute_triangle_data,
     )
 
+    small = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(4))
+    )
+    assert pallas_scene_supported(small)
+    assert not trace_needs_streaming(small)  # 272 pairs: SMEM-resident
+
     td = precompute_triangle_data(
         Scene.from_arrays(*procedural.subdivided_cornell(12))
     )
     assert pallas_scene_supported(td)
-    assert not trace_needs_streaming(td)  # 2.4k pairs: resident
+    # 2.4k pairs outgrow the SMEM-resident budget: streamed (HBM tables
+    # beat a VMEM-resident copy -- scalar reads are 2x cheaper from SMEM)
+    assert trace_needs_streaming(td)
 
     big = types.SimpleNamespace(
         normals=np.zeros((400_000, 3), np.float32),
@@ -350,3 +358,74 @@ def test_streaming_routing():
     )
     assert trace_needs_streaming(big)
     assert pallas_scene_supported(big)  # streams instead of XLA fallback
+
+
+def test_wavefront_matches_megakernel():
+    """The wavefront tracer (per-segment kernels + ray sorting) must match
+    the megakernel on a streamed scene: same PCG streams, same shading,
+    different ray order. Agreement is to 1 ulp (XLA may fuse the ray-gen
+    arithmetic differently across the two programs; observed: 2 values in
+    4608 off by 6e-8)."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
+        path_trace_wavefront,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = dataclasses.replace(CFG, width=48, height=32, max_bounces=6)
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(6))
+    )
+    assert td.cluster_aabbs is not None
+    cam, light = Camera.default(), Light.default()
+    mega = np.asarray(
+        path_trace_pass_pallas(
+            td, cam.position, light, jnp.int32(2), cfg, interpret=True,
+            stream_tables=True,
+        )
+    )
+    wf = np.asarray(
+        path_trace_wavefront(
+            td, cam.position, light, jnp.int32(2), cfg, interpret=True
+        )
+    )
+    np.testing.assert_allclose(mega, wf, rtol=0, atol=1e-6)
+
+
+def test_wavefront_spp_batches():
+    """Multi-sample/multi-batch averaging matches the megakernel."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
+        path_trace_wavefront,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = dataclasses.replace(
+        CFG, width=48, height=32, max_bounces=4, spp=2, sample_batches=2
+    )
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(6))
+    )
+    cam, light = Camera.default(), Light.default()
+    mega = np.asarray(
+        path_trace_pass_pallas(
+            td, cam.position, light, jnp.int32(3), cfg, interpret=True,
+            stream_tables=True,
+        )
+    )
+    wf = np.asarray(
+        path_trace_wavefront(
+            td, cam.position, light, jnp.int32(3), cfg, interpret=True
+        )
+    )
+    np.testing.assert_allclose(mega, wf, rtol=1e-6, atol=1e-6)
