@@ -63,8 +63,9 @@ def run_suite(quick: bool):
     cfg1 = ptsf.RenderConfig(width=512, height=512, ema_alpha=1.0)
     results.append(("cornell_512_spatial_only", bench_renderer(cornell(cfg1), frames)))
 
-    # 2. full SVGF 512x512 (temporal EMA on, gradients computed but unused)
-    cfg2 = ptsf.RenderConfig(width=512, height=512)
+    # 2. full SVGF 512x512: temporal EMA + variance-guided a-trous
+    # (BASELINE config 2 names the variance guidance explicitly)
+    cfg2 = ptsf.RenderConfig(width=512, height=512, variance_guided=True)
     results.append(("cornell_512_full_svgf", bench_renderer(cornell(cfg2), frames)))
 
     # 3. orbiting camera, full A-SVGF with adaptive alpha, 1080p

@@ -310,7 +310,19 @@ def pack_geometry_clusters(tri_data):
     perm = np.argsort(morton_codes_np(tris.mean(1)), kind="stable").astype(
         np.int32
     )
-    tri_table = np.asarray(pack_triangles(tri_data))[perm]  # (T, 21)
+    # numpy twin of pack_triangles (same column layout): building the table
+    # with jnp would bounce 21 columns through the accelerator
+    p = tri_data.planes
+    tri_table = np.concatenate(
+        [
+            np.asarray(p.v0), np.asarray(p.n),
+            np.asarray(p.d0)[:, None],
+            np.asarray(p.n1), np.asarray(p.d1)[:, None],
+            np.asarray(p.n2), np.asarray(p.d2)[:, None],
+            np.asarray(tri_data.albedo), np.asarray(tri_data.normals),
+        ],
+        axis=1,
+    ).astype(np.float32)[perm]  # (T, 21)
     cur = tris[perm].reshape(num_tris, 9)
     prim = (perm + 1).astype(np.float32)[:, None]
     static = np.concatenate([tri_table, cur, prim], axis=1)
@@ -550,7 +562,9 @@ def geometry_pass_pallas(
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
             + [
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=_table_space(num_clusters, 6)),
+                # flat 1D SMEM: 2D (C, 6) would lane-pad to (C, 128) and
+                # exceed the ~1 MB SMEM budget at Sponza-scale C
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * 11,
@@ -569,7 +583,7 @@ def geometry_pass_pallas(
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
-        )(fparams, iparams, table, caabb, saabb)
+        )(fparams, iparams, table, caabb.reshape(-1), saabb.reshape(-1))
     else:
         tri_table = pack_triangles(tri_data)
         # current verts merged into the packed table; separate prev table

@@ -652,9 +652,13 @@ NBINS = 16
 
 
 def _slab_test(aabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz):
-    """Whole-tile ray/AABB slab test -> (tmin, overlap mask)."""
-    lox, loy, loz = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
-    hix, hiy, hiz = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
+    """Whole-tile ray/AABB slab test -> (tmin, overlap mask).
+
+    ``aabb_ref`` is the FLAT (C*6,) SMEM box table: a 2D (C, 6) SMEM array
+    would be lane-padded to (C, 128) and blow the ~1 MB SMEM budget 21x
+    over at Sponza-scale cluster counts (observed compile failure)."""
+    lox, loy, loz = aabb_ref[c * 6 + 0], aabb_ref[c * 6 + 1], aabb_ref[c * 6 + 2]
+    hix, hiy, hiz = aabb_ref[c * 6 + 3], aabb_ref[c * 6 + 4], aabb_ref[c * 6 + 5]
     tx0 = (lox - ox) * inv_dx
     tx1 = (hix - ox) * inv_dx
     ty0 = (loy - oy) * inv_dy
@@ -869,23 +873,8 @@ def _nearest_hit_clustered(
     inv_dz = 1.0 / jnp.where(jnp.abs(dz) < tiny, tiny, dz)
 
     def box_near(aabb_ref, c, best_t):
-        lox, loy, loz = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
-        hix, hiy, hiz = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
-        tx0 = (lox - ox) * inv_dx
-        tx1 = (hix - ox) * inv_dx
-        ty0 = (loy - oy) * inv_dy
-        ty1 = (hiy - oy) * inv_dy
-        tz0 = (loz - oz) * inv_dz
-        tz1 = (hiz - oz) * inv_dz
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        return alive & (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best_t)
+        tmin, ok = _slab_test(aabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz)
+        return alive & ok & (tmin < best_t)
 
     def cluster_body(c, s):
         near = box_near(caabb_ref, c, s[0])
@@ -1445,7 +1434,9 @@ def path_trace_pass_pallas(
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(fparams, iparams, uparams, tri_table, cluster_aabbs, super_aabbs)
+        # AABB tables flat 1D: 2D SMEM would lane-pad (C, 6) to (C, 128)
+    )(fparams, iparams, uparams, tri_table,
+      cluster_aabbs.reshape(-1), super_aabbs.reshape(-1))
     if planar:
         return r, g, b
     return jnp.stack([r, g, b], axis=-1)

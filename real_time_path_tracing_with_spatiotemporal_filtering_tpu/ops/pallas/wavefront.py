@@ -241,6 +241,8 @@ def path_trace_wavefront(
     )
     if super_aabbs is None:
         super_aabbs = jnp.zeros((1, 6), jnp.float32)
+    caabb_flat = cluster_aabbs.reshape(-1)
+    saabb_flat = super_aabbs.reshape(-1)
 
     if rotation is None:
         rotation = jnp.eye(3, dtype=jnp.float32)
@@ -317,7 +319,8 @@ def path_trace_wavefront(
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
-        )(fparams, iparams, table, cluster_aabbs, super_aabbs, *planes)
+            # AABB tables flat 1D (2D SMEM lane-pads to 128 cols)
+        )(fparams, iparams, table, caabb_flat, saabb_flat, *planes)
         return tuple(outs)
 
     def sort_planes(planes, pix_plane):

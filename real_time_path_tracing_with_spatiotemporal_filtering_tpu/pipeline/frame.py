@@ -202,11 +202,23 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         view, proj, history.view, history.proj, cfg,
         interpret=interpret, planar=True, rotation=camera.rotation,
     )
-    noisy = pt_mod.path_trace_pass_pallas(
-        tri_data, camera.position, light, frame_idx, cfg,
-        interpret=interpret, planar=True, rotation=camera.rotation,
-        stream_tables=pt_mod.trace_needs_streaming(tri_data),
-    )
+    if pt_mod.trace_needs_streaming(tri_data):
+        # beyond-SMEM scenes: wavefront tracer (per-segment kernels +
+        # global ray sorting beats the streamed megakernel ~2x at 8k tris,
+        # more at scale -- sorted tiles make bounce-ray culling work)
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+            wavefront as wf_mod,
+        )
+
+        noisy = wf_mod.path_trace_wavefront(
+            tri_data, camera.position, light, frame_idx, cfg,
+            interpret=interpret, planar=True, rotation=camera.rotation,
+        )
+    else:
+        noisy = pt_mod.path_trace_pass_pallas(
+            tri_data, camera.position, light, frame_idx, cfg,
+            interpret=interpret, planar=True, rotation=camera.rotation,
+        )
     if cfg.variance_guided:
         moments, var = atrous.accumulate_moments(
             atrous.luminance_planes(*noisy), history.moments,
@@ -220,8 +232,9 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         filtered = atrous_pl.atrous_filter_pallas(
             noisy, geo.normal, geo.depth, cfg, interpret=interpret
         )
-    rgb = atrous.temporal_accumulate_at(
-        filtered, history.image, geo.prev_y, geo.prev_x, frame_idx, geo.lam, cfg
+    rgb = atrous_pl.temporal_blend_pallas(
+        filtered, history.image, geo.prev_y, geo.prev_x, frame_idx, geo.lam,
+        cfg, interpret=interpret,
     )
     new_history = History(
         image=rgb,

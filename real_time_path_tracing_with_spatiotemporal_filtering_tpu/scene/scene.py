@@ -243,31 +243,40 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
         lut = jnp.concatenate([jnp.zeros((1, 3, 3), tris.dtype), tris], axis=0)
         background_normal = jnp.array([[0.0, 0.0, 1.0]], jnp.float32)
         lut_normals = jnp.concatenate([background_normal, normals], axis=0)
-    td = TriangleData(
-        planes=jax.tree_util.tree_map(jnp.asarray, planes),
-        normals=jnp.asarray(normals),
-        albedo=jnp.asarray(albedo),
-        lut=jnp.asarray(lut),
-        lut_normals=jnp.asarray(lut_normals),
-    )
     if not concrete:
         # traced geometry: pairing/clustering are host-side decisions
-        return td
+        return TriangleData(
+            planes=jax.tree_util.tree_map(jnp.asarray, planes),
+            normals=jnp.asarray(normals),
+            albedo=jnp.asarray(albedo),
+            lut=jnp.asarray(lut),
+            lut_normals=jnp.asarray(lut_normals),
+        )
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
         build_hierarchy,
         pack_shading_pairs,
     )
 
-    table, pair_order = pack_shading_pairs(td)
+    # Pack on HOST data: handing the pack helpers device arrays would pull
+    # every table back through the (slow) accelerator tunnel (measured:
+    # tens of seconds at 250k tris on axon).
+    td_host = TriangleData(
+        planes=jax.tree_util.tree_map(np.asarray, planes),
+        normals=np.asarray(normals),
+        albedo=np.asarray(albedo),
+        lut=np.asarray(lut),
+        lut_normals=np.asarray(lut_normals),
+    )
+    table, pair_order = pack_shading_pairs(td_host)
     pair_table = jnp.asarray(table)
-    caabb, saabb = build_hierarchy(td, pair_order)
+    caabb, saabb = build_hierarchy(td_host, pair_order)
     cluster_aabbs = None if caabb is None else jnp.asarray(caabb)
     super_aabbs = None if saabb is None else jnp.asarray(saabb)
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.geometry import (
         pack_geometry_clusters,
     )
 
-    geo = pack_geometry_clusters(td)
+    geo = pack_geometry_clusters(td_host)
     if geo is None:
         geo_static = geo_perm = geo_caabb = geo_saabb = None
     else:
@@ -277,11 +286,11 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
         geo_caabb = jnp.asarray(g_caabb)
         geo_saabb = None if g_saabb is None else jnp.asarray(g_saabb)
     return TriangleData(
-        planes=td.planes,
-        normals=td.normals,
-        albedo=td.albedo,
-        lut=td.lut,
-        lut_normals=td.lut_normals,
+        planes=jax.tree_util.tree_map(jnp.asarray, planes),
+        normals=jnp.asarray(normals),
+        albedo=jnp.asarray(albedo),
+        lut=jnp.asarray(lut),
+        lut_normals=jnp.asarray(lut_normals),
         pair_table=pair_table,
         cluster_aabbs=cluster_aabbs,
         super_aabbs=super_aabbs,
