@@ -54,3 +54,37 @@ def test_denoiser_beats_raw_input(cornell_tri_data):
     # improvement factor grows with resolution; see benchmarks/quality.py).
     assert e_denoised < 0.85 * e_noisy
     assert e_denoised < 0.3
+
+
+# --- pinned quality bar (north star: "within 5% of the Vulkan A-SVGF
+# output"; tracked proxy: rMSE vs a converged reference at a resolution
+# where the a-trous support no longer covers the whole frame). Thresholds
+# pinned from measured values so a filter regression FAILS CI instead of
+# drifting a doc number:
+#   128x128, 192-spp truth, 20 frames (measured on CPU, 2026-08-16):
+#     reference parity    denoised 0.210, noisy 0.354 (1.69x)
+#     variance-guided     denoised 0.160, noisy 0.354 (2.22x)
+# The same harness at 256x256 (benchmarks/quality.py) gives 0.19/0.15 --
+# the 128px numbers track it within noise.
+
+
+def _quality_stats(variance_guided: bool):
+    from benchmarks.quality import run
+
+    stats = run(size=128, spp=192, frames=20, variance_guided=variance_guided)
+    return (
+        stats["rmse_denoised"],
+        stats["rmse_noisy_1spp"] / max(stats["rmse_denoised"], 1e-12),
+    )
+
+
+def test_quality_bar_reference_parity():
+    denoised, improvement = _quality_stats(variance_guided=False)
+    assert denoised <= 0.23, f"denoised rMSE regressed: {denoised:.4f}"
+    assert improvement >= 1.55, f"improvement regressed: {improvement:.2f}x"
+
+
+def test_quality_bar_variance_guided():
+    denoised, improvement = _quality_stats(variance_guided=True)
+    assert denoised <= 0.175, f"denoised rMSE regressed: {denoised:.4f}"
+    assert improvement >= 2.0, f"improvement regressed: {improvement:.2f}x"
