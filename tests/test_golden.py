@@ -53,3 +53,21 @@ def test_full_frame_matches_golden(cornell_tri_data):
         )
     golden = np.load(os.path.join(GOLDEN, "frame3_48x32.npy"))
     np.testing.assert_allclose(np.asarray(rgb), golden, rtol=1e-5, atol=1e-6)
+
+
+def test_variance_guided_frame_matches_golden(cornell_tri_data):
+    """Pins the variance-guided SVGF extension (moment accumulation,
+    variance-normalized w_l, variance propagation through the a-trous
+    iterations) -- the path BASELINE's north star names explicitly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, variance_guided=True)
+    cam, light = Camera.default(), Light.default()
+    hist = frame_mod.init_history(cornell_tri_data, cfg)
+    rgb = None
+    for _ in range(3):
+        rgb, hist = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist, cfg
+        )
+    golden = np.load(os.path.join(GOLDEN, "frame3_48x32_var.npy"))
+    np.testing.assert_allclose(np.asarray(rgb), golden, rtol=1e-5, atol=1e-6)
