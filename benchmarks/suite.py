@@ -82,14 +82,24 @@ def run_suite(quick: bool):
         ("cornell_1080p_asvgf_orbit", bench_renderer(cornell(cfg3), frames, orbit))
     )
 
-    # 4. large-scene stress: subdivided Cornell (identical image, more tris)
-    splits = 2 if quick else 4  # 128 or 512 triangles
+    # 4. Sponza-class traversal stress (BASELINE config 4): ~250k tris,
+    # moving camera, 1080p 1spp through the wavefront tracer. --quick keeps
+    # a small stand-in (the full scene costs seconds/frame; see
+    # benchmarks/scaling.py for the full curve).
+    splits = 2 if quick else 88  # 128 or 247,808 triangles
+    big_frames = frames if quick else 2
     big_scene = ptsf.Scene.from_arrays(*procedural.subdivided_cornell(splits))
     cfg4 = ptsf.RenderConfig(width=1920, height=1080)
+
+    def orbit4(r, i):
+        r.camera = Camera.orbit([0.0, 1.0, 0.0], 6.0, 0.01 * i, 1.0)
+
     results.append(
         (
-            f"cornell_subdiv{splits}_{32 * splits * splits}tris_1080p",
-            bench_renderer(lambda: ptsf.Renderer(big_scene, cfg4), frames),
+            f"cornell_subdiv{splits}_{32 * splits * splits}tris_1080p_orbit",
+            bench_renderer(
+                lambda: ptsf.Renderer(big_scene, cfg4), big_frames, orbit4
+            ),
         )
     )
 

@@ -337,17 +337,20 @@ def pack_geometry_clusters(tri_data):
     caabb = _group_aabbs(lo, hi, csize)
     pad = num_clusters - caabb.shape[0]
     if pad:
-        degenerate = np.tile(
-            np.array([1e30] * 3 + [-1e30] * 3, np.float32), (pad, 1)
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+            DEGENERATE_BOX,
         )
+
+        degenerate = np.tile(np.full((6,), DEGENERATE_BOX, np.float32), (pad, 1))
         caabb = np.concatenate([caabb, degenerate], axis=0)
     saabb = None
     if num_supers:
         grouped = caabb.reshape(num_supers, ssize, 6)
-        saabb = np.concatenate(
-            [grouped[:, :, :3].min(axis=1), grouped[:, :, 3:].max(axis=1)],
-            axis=1,
-        ).astype(np.float32)
+        real = grouped[:, :, 0] < 1e29
+        glo = np.where(real[:, :, None], grouped[:, :, :3], np.inf).min(axis=1)
+        ghi = np.where(real[:, :, None], grouped[:, :, 3:], -np.inf).max(axis=1)
+        saabb = np.concatenate([glo, ghi], axis=1).astype(np.float32)
+        saabb[~real.any(axis=1)] = np.float32(3e37)
     return static.astype(np.float32), perm, caabb, saabb
 
 

@@ -279,8 +279,12 @@ def hierarchy_sizes(
 def build_hierarchy(tri_data, pair_order):
     """(cluster_aabbs, super_aabbs | None) for Morton-ordered pairs.
 
-    Cluster rows beyond the real count are degenerate (+inf/-inf) boxes
-    that never pass the slab test."""
+    Cluster rows beyond the real count are degenerate point boxes at
+    +3e37 (see DEGENERATE_BOX): the min/max slab test never passes them.
+    (Flipped lo>hi "empty" boxes do NOT work: per-axis min/max sorting
+    turns them into a universe-spanning box that lands in distance bin 0
+    and runs its whole row loop -- measured as always-visited pad
+    clusters before round 2.)"""
     cs, c_padded, ss, s = hierarchy_sizes(len(pair_order))
     if cs == 0:
         return None, None
@@ -289,14 +293,17 @@ def build_hierarchy(tri_data, pair_order):
         return caabb, None
     pad = c_padded - caabb.shape[0]
     if pad:
-        degenerate = np.tile(
-            np.array([1e30] * 3 + [-1e30] * 3, np.float32), (pad, 1)
-        )
+        degenerate = np.tile(np.full((6,), DEGENERATE_BOX, np.float32), (pad, 1))
         caabb = np.concatenate([caabb, degenerate], axis=0)
     grouped = caabb.reshape(s, ss, 6)
-    saabb = np.concatenate(
-        [grouped[:, :, :3].min(axis=1), grouped[:, :, 3:].max(axis=1)], axis=1
-    )
+    # supers reduce over REAL clusters only (point-box pads at +3e37 would
+    # drag every mixed super's hi corner to +3e37)
+    real = grouped[:, :, 0] < 1e29
+    glo = np.where(real[:, :, None], grouped[:, :, :3], np.inf).min(axis=1)
+    ghi = np.where(real[:, :, None], grouped[:, :, 3:], -np.inf).max(axis=1)
+    saabb = np.concatenate([glo, ghi], axis=1)
+    fake = ~real.any(axis=1)
+    saabb[fake] = DEGENERATE_BOX
     return caabb, saabb.astype(np.float32)
 
 
@@ -327,9 +334,18 @@ def build_clusters(tri_data, pair_order, csize):
     return _group_aabbs(lo, hi, csize)
 
 
+# Degenerate pad boxes are POINT boxes far outside any scene: per-axis
+# entry times differ, so the whole-tile slab test's tmax < tmin for every
+# ray not aimed exactly at the point, and the ordered walk's
+# ``tmin < 1e30`` guard rejects even that measure-zero case. (+inf/-inf
+# flipped boxes fail here: min/max slab sorting makes them universal.)
+DEGENERATE_BOX = np.float32(3e37)
+
+
 def _group_aabbs(lo: "np.ndarray", hi: "np.ndarray", csize: int):
     """Reduce (P, 3) box min/max arrays into per-cluster AABBs of ``csize``
-    consecutive boxes: (ceil(P/csize), 6) [min3 | max3], vectorized."""
+    consecutive boxes: (ceil(P/csize), 6) [min3 | max3], vectorized.
+    Fully-padded groups come out as DEGENERATE_BOX points."""
     p = lo.shape[0]
     pad = (-p) % csize
     if pad:
@@ -337,7 +353,9 @@ def _group_aabbs(lo: "np.ndarray", hi: "np.ndarray", csize: int):
         hi = np.concatenate([hi, np.full((pad, 3), -np.inf, hi.dtype)])
     lo_g = lo.reshape(-1, csize, 3).min(axis=1)
     hi_g = hi.reshape(-1, csize, 3).max(axis=1)
-    return np.concatenate([lo_g, hi_g], axis=1).astype(np.float32)
+    out = np.concatenate([lo_g, hi_g], axis=1).astype(np.float32)
+    out[~np.isfinite(out[:, 0])] = DEGENERATE_BOX
+    return out
 
 
 def _u2f(word):
@@ -729,7 +747,9 @@ def _ordered_stream_loop(
             (tmin_pos * inv_diam * nbins_f).astype(jnp.int32), 0, NBINS - 1
         )
 
-        @pl.when(jnp.any(near))
+        # tmin_pos < 1e30 also rejects DEGENERATE_BOX pad clusters for the
+        # measure-zero ray aimed exactly at the pad point
+        @pl.when(jnp.any(near) & (tmin_pos < jnp.float32(1e30)))
         def _():
             bins_ref[c] = b
 
