@@ -287,11 +287,14 @@ def pack_geometry_clusters(tri_data):
     """Host-side static tables for the clustered geometry kernel.
 
     Returns (static_table (Tpad, 31) f32, perm (T,) int32 Morton order,
-    cluster_aabbs (C, 6), super_aabbs (S, 6) | None), or None when the
-    scene is below GEO_CLUSTER_MIN_TRIS. Pad rows are zero (their plane
-    test yields nan t, which self-rejects).
+    cluster_aabbs (C, 6), super_aabbs (S, 6) | None,
+    sub_aabbs (C*NSUB, 6)), or None when the scene is below
+    GEO_CLUSTER_MIN_TRIS. Pad rows are zero (their plane test yields nan
+    t, which self-rejects).
     """
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+        DEGENERATE_BOX,
+        NSUB,
         _group_aabbs,
         hierarchy_sizes,
     )
@@ -335,12 +338,19 @@ def pack_geometry_clusters(tri_data):
     lo = tris[perm].min(1)
     hi = tris[perm].max(1)
     caabb = _group_aabbs(lo, hi, csize)
+    sub = _group_aabbs(lo, hi, max(csize // NSUB, 1))
+    sub_needed = num_clusters * NSUB
+    if sub.shape[0] < sub_needed:
+        sub = np.concatenate(
+            [
+                sub,
+                np.full(
+                    (sub_needed - sub.shape[0], 6), DEGENERATE_BOX, np.float32
+                ),
+            ]
+        )
     pad = num_clusters - caabb.shape[0]
     if pad:
-        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
-            DEGENERATE_BOX,
-        )
-
         degenerate = np.tile(np.full((6,), DEGENERATE_BOX, np.float32), (pad, 1))
         caabb = np.concatenate([caabb, degenerate], axis=0)
     saabb = None
@@ -351,7 +361,7 @@ def pack_geometry_clusters(tri_data):
         ghi = np.where(real[:, :, None], grouped[:, :, 3:], -np.inf).max(axis=1)
         saabb = np.concatenate([glo, ghi], axis=1).astype(np.float32)
         saabb[~real.any(axis=1)] = np.float32(3e37)
-    return static.astype(np.float32), perm, caabb, saabb
+    return static.astype(np.float32), perm, caabb, saabb, sub
 
 
 def _geometry_clustered_kernel(
@@ -531,6 +541,11 @@ def geometry_pass_pallas(
         assert num_clusters * csize == padded_rows
         prev9 = lut_prev[1:].reshape(num_tris, 9).astype(f32)[perm]
         prev9 = jnp.pad(prev9, ((0, padded_rows - num_tris), (0, 0)))
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+            NSUB,
+            assemble_stream_table,
+        )
+
         table = jnp.concatenate(
             [
                 geo_static,
@@ -540,6 +555,10 @@ def geometry_pass_pallas(
                 ),
             ],
             axis=1,
+        )
+        table = assemble_stream_table(
+            table, getattr(tri_data, "geo_sub_aabbs", None),
+            num_clusters, csize,
         )
         caabb = tri_data.geo_cluster_aabbs
         saabb = tri_data.geo_super_aabbs
@@ -580,8 +599,8 @@ def geometry_pass_pallas(
                 pltpu.SMEM((num_clusters,), jnp.int32),
                 pltpu.SMEM((num_clusters,), jnp.int32),
                 pltpu.SMEM((pt_NBINS,), jnp.int32),
-                pltpu.SMEM((csize, GEO_STREAM_COLS), f32),
-                pltpu.SMEM((csize, GEO_STREAM_COLS), f32),
+                pltpu.SMEM((csize + NSUB, GEO_STREAM_COLS), f32),
+                pltpu.SMEM((csize + NSUB, GEO_STREAM_COLS), f32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],

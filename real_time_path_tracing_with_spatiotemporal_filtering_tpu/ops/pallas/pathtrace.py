@@ -277,20 +277,40 @@ def hierarchy_sizes(
 
 
 def build_hierarchy(tri_data, pair_order):
-    """(cluster_aabbs, super_aabbs | None) for Morton-ordered pairs.
+    """(cluster_aabbs, super_aabbs | None, sub_aabbs | None) for
+    Morton-ordered pairs. ``sub_aabbs`` is (C*NSUB, 6): per-cluster
+    sub-block boxes of ``csize/NSUB`` consecutive pairs, streamed as an
+    NSUB-row header before each cluster's rows so the in-kernel row loop
+    can skip whole sub-blocks (assemble_stream_table).
 
-    Cluster rows beyond the real count are degenerate point boxes at
-    +3e37 (see DEGENERATE_BOX): the min/max slab test never passes them.
-    (Flipped lo>hi "empty" boxes do NOT work: per-axis min/max sorting
-    turns them into a universe-spanning box that lands in distance bin 0
-    and runs its whole row loop -- measured as always-visited pad
-    clusters before round 2.)"""
+    Rows beyond the real count are degenerate point boxes at +3e37 (see
+    DEGENERATE_BOX): the min/max slab test never passes them. (Flipped
+    lo>hi "empty" boxes do NOT work: per-axis min/max sorting turns them
+    into a universe-spanning box that lands in distance bin 0 and runs
+    its whole row loop -- measured as always-visited pad clusters before
+    round 2.)"""
     cs, c_padded, ss, s = hierarchy_sizes(len(pair_order))
     if cs == 0:
-        return None, None
-    caabb = build_clusters(tri_data, pair_order, cs)
+        return None, None, None
+    tris = np.asarray(tri_data.lut)[1:]  # (T, 3, 3)
+    pairs = np.asarray(pair_order, np.int64).reshape(-1, 2)
+    a, b = pairs[:, 0], pairs[:, 1]
+    lo = np.minimum(tris[a].min(1), tris[b].min(1))  # (P, 3)
+    hi = np.maximum(tris[a].max(1), tris[b].max(1))
+    caabb = _group_aabbs(lo, hi, cs)
+    sub = _group_aabbs(lo, hi, max(cs // NSUB, 1))
+    sub_needed = c_padded * NSUB
+    if sub.shape[0] < sub_needed:
+        sub = np.concatenate(
+            [
+                sub,
+                np.full(
+                    (sub_needed - sub.shape[0], 6), DEGENERATE_BOX, np.float32
+                ),
+            ]
+        )
     if s == 0:
-        return caabb, None
+        return caabb, None, sub
     pad = c_padded - caabb.shape[0]
     if pad:
         degenerate = np.tile(np.full((6,), DEGENERATE_BOX, np.float32), (pad, 1))
@@ -304,7 +324,7 @@ def build_hierarchy(tri_data, pair_order):
     saabb = np.concatenate([glo, ghi], axis=1)
     fake = ~real.any(axis=1)
     saabb[fake] = DEGENERATE_BOX
-    return caabb, saabb.astype(np.float32)
+    return caabb, saabb.astype(np.float32), sub
 
 
 def cluster_size_for(num_pairs: int) -> int:
@@ -668,6 +688,42 @@ def _pair_test(pair_ref, t, ox, oy, oz, dx, dy, dz, state, cfg):
 # traversal order, raytrace.comp.glsl:216's tMax pruning).
 NBINS = 16
 
+# Sub-blocks per streamed cluster: each cluster's HBM block carries an
+# NSUB-row header (sub-AABB sb in row sb, cols 0:6) ahead of its csize
+# table rows, so the row loop tests csize/NSUB-row sub-blocks against the
+# per-lane best before running them. 98.6% of wavefront time was the row
+# loop (v5e probe, 32k tris) -- this is the knife that cuts it.
+NSUB = 8
+
+
+def assemble_stream_table(table_cols, sub_aabbs, num_clusters, csize):
+    """Interleave the NSUB-row sub-AABB header before each cluster's rows.
+
+    ``table_cols``: (num_clusters*csize, COLS) column-padded table.
+    ``sub_aabbs``: (num_clusters*NSUB, 6) from build_hierarchy /
+    pack_geometry_clusters, or None for conservative always-test headers
+    (a [-3e37, 3e37] universe box per sub-block = pre-header behavior).
+    Returns (num_clusters*(csize+NSUB), COLS)."""
+    cols = int(table_cols.shape[1])
+    if sub_aabbs is None:
+        hdr6 = jnp.tile(
+            jnp.array([[-3e37] * 3 + [3e37] * 3], jnp.float32),
+            (num_clusters * NSUB, 1),
+        )
+    else:
+        hdr6 = jnp.asarray(sub_aabbs, jnp.float32)
+    hdr = jnp.concatenate(
+        [hdr6, jnp.zeros((num_clusters * NSUB, cols - 6), jnp.float32)],
+        axis=1,
+    )
+    return jnp.concatenate(
+        [
+            hdr.reshape(num_clusters, NSUB, cols),
+            table_cols.reshape(num_clusters, csize, cols),
+        ],
+        axis=1,
+    ).reshape(num_clusters * (csize + NSUB), cols)
+
 
 def _slab_test(aabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz):
     """Whole-tile ray/AABB slab test -> (tmin, overlap mask).
@@ -716,6 +772,9 @@ def _ordered_stream_loop(
          remaining clusters' row loops are skipped (their DMAs still run:
          starts and waits must stay balanced).
 
+    ``table_ref`` must be laid out by :func:`assemble_stream_table`: each
+    cluster's block is an NSUB-row sub-AABB header followed by its csize
+    table rows (the DMA buffers are (csize+NSUB, COLS)).
     ``row_fn(buf_ref, r, state) -> state`` consumes one table row from the
     active SMEM buffer; ``state[0]`` must be the per-lane best hit t.
     Returns the final state. Ordering only changes which primitives are
@@ -816,10 +875,13 @@ def _ordered_stream_loop(
     jax.lax.fori_loop(0, num_clusters, scatter, 0)
 
     # --- phase C: pipelined DMA walk, near bins first ---
+    block = csize + NSUB  # NSUB-row sub-AABB header + csize table rows
+    k_rows = csize // NSUB  # rows per sub-block
+
     def dma(k, buf, sem):
         c = ids_ref[k]
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(c * csize, csize), :], buf, sem
+            table_ref.at[pl.ds(c * block, block), :], buf, sem
         )
 
     @pl.when(total > 0)
@@ -840,10 +902,45 @@ def _ordered_stream_loop(
         near = alive & ok & (tmin < best)
 
         def run(s):
-            def body(j, s2):
-                return row_fn(buf, j, s2)
+            # walk NSUB sub-blocks, skipping any whose header box cannot
+            # beat the current per-lane best (same strict-< argument as
+            # the cluster level: a skipped sub-block's hits satisfy
+            # t >= tmin_sb >= best, so they could never commit)
+            def sub_body(sb, s2):
+                lox, loy, loz = buf[sb, 0], buf[sb, 1], buf[sb, 2]
+                hix, hiy, hiz = buf[sb, 3], buf[sb, 4], buf[sb, 5]
+                tx0 = (lox - ox) * inv_dx
+                tx1 = (hix - ox) * inv_dx
+                ty0 = (loy - oy) * inv_dy
+                ty1 = (hiy - oy) * inv_dy
+                tz0 = (loz - oz) * inv_dz
+                tz1 = (hiz - oz) * inv_dz
+                tmin_sb = jnp.maximum(
+                    jnp.maximum(
+                        jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)
+                    ),
+                    jnp.minimum(tz0, tz1),
+                )
+                tmax_sb = jnp.minimum(
+                    jnp.minimum(
+                        jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)
+                    ),
+                    jnp.maximum(tz0, tz1),
+                )
+                ok_sb = tmax_sb >= jnp.maximum(tmin_sb, 0.0)
+                near_sb = alive & ok_sb & (tmin_sb < s2[0])
 
-            return jax.lax.fori_loop(0, csize, body, s)
+                def rows(s3):
+                    def body(j, s4):
+                        return row_fn(buf, NSUB + sb * k_rows + j, s4)
+
+                    return jax.lax.fori_loop(0, k_rows, body, s3)
+
+                return jax.lax.cond(
+                    jnp.any(near_sb), rows, lambda s3: s3, s2
+                )
+
+            return jax.lax.fori_loop(0, NSUB, sub_body, s)
 
         state = jax.lax.cond(
             jnp.any(near) & (lb <= max_best), run, lambda s: s, state
@@ -1423,6 +1520,10 @@ def path_trace_pass_pallas(
             ],
             axis=1,
         )
+        tri_table = assemble_stream_table(
+            tri_table, getattr(tri_data, "sub_aabbs", None),
+            num_clusters, csize,
+        )
         table_spec = pl.BlockSpec(memory_space=pl.ANY)
         # SMEM scratch, not VMEM: dynamic scalar reads from VMEM cost ~180
         # cycles/row-visit vs ~84 from SMEM (measured on v5e; the pair loop
@@ -1432,8 +1533,8 @@ def path_trace_pass_pallas(
             pltpu.SMEM((num_clusters,), jnp.int32),   # bins
             pltpu.SMEM((num_clusters,), jnp.int32),   # sorted visited ids
             pltpu.SMEM((NBINS,), jnp.int32),          # bin counts/offsets
-            pltpu.SMEM((csize, 128), jnp.float32),    # DMA buffer 0
-            pltpu.SMEM((csize, 128), jnp.float32),    # DMA buffer 1
+            pltpu.SMEM((csize + NSUB, 128), jnp.float32),  # DMA buffer 0
+            pltpu.SMEM((csize + NSUB, 128), jnp.float32),  # DMA buffer 1
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]

@@ -41,12 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
     NBINS,
+    NSUB,
     PAIR_COLS,
     TILE_H,
     TILE_W,
     _ordered_stream_loop,
     _pair_test,
     _shade_segment,
+    assemble_stream_table,
     hierarchy_sizes,
 )
 
@@ -234,10 +236,14 @@ def path_trace_wavefront(
                 ),
             ]
         )
-    # HBM rows padded to 128 columns (DMA lane alignment)
+    # HBM rows padded to 128 columns (DMA lane alignment), then interleave
+    # the per-cluster sub-AABB headers (assemble_stream_table)
     table = jnp.concatenate(
         [table, jnp.zeros((int(table.shape[0]), 128 - PAIR_COLS), jnp.float32)],
         axis=1,
+    )
+    table = assemble_stream_table(
+        table, getattr(tri_data, "sub_aabbs", None), num_clusters, csize
     )
     if super_aabbs is None:
         super_aabbs = jnp.zeros((1, 6), jnp.float32)
@@ -313,8 +319,8 @@ def path_trace_wavefront(
                 pltpu.SMEM((num_clusters,), jnp.int32),
                 pltpu.SMEM((num_clusters,), jnp.int32),
                 pltpu.SMEM((NBINS,), jnp.int32),
-                pltpu.SMEM((csize, 128), f32),
-                pltpu.SMEM((csize, 128), f32),
+                pltpu.SMEM((csize + NSUB, 128), f32),
+                pltpu.SMEM((csize + NSUB, 128), f32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],

@@ -148,6 +148,10 @@ class TriangleData:
     cluster_aabbs: jnp.ndarray | None = None
     # (S, 6) supercluster AABBs (second cull level for larger scenes).
     super_aabbs: jnp.ndarray | None = None
+    # (C*NSUB, 6) per-cluster sub-block AABBs, streamed as block headers so
+    # the kernels can skip whole sub-blocks of the row loop
+    # (pathtrace.assemble_stream_table).
+    sub_aabbs: jnp.ndarray | None = None
     # Clustered geometry-kernel tables (ops/pallas/geometry.
     # pack_geometry_clusters); None below GEO_CLUSTER_MIN_TRIS or under
     # tracing. geo_static is the (Tpad, 31) Morton-ordered static part of
@@ -157,6 +161,7 @@ class TriangleData:
     geo_perm: jnp.ndarray | None = None
     geo_cluster_aabbs: jnp.ndarray | None = None
     geo_super_aabbs: jnp.ndarray | None = None
+    geo_sub_aabbs: jnp.ndarray | None = None
 
 
 # Above this triangle count the base tables are built with numpy instead of
@@ -269,22 +274,24 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
     )
     table, pair_order = pack_shading_pairs(td_host)
     pair_table = jnp.asarray(table)
-    caabb, saabb = build_hierarchy(td_host, pair_order)
+    caabb, saabb, sub = build_hierarchy(td_host, pair_order)
     cluster_aabbs = None if caabb is None else jnp.asarray(caabb)
     super_aabbs = None if saabb is None else jnp.asarray(saabb)
+    sub_aabbs = None if sub is None else jnp.asarray(sub)
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.geometry import (
         pack_geometry_clusters,
     )
 
     geo = pack_geometry_clusters(td_host)
     if geo is None:
-        geo_static = geo_perm = geo_caabb = geo_saabb = None
+        geo_static = geo_perm = geo_caabb = geo_saabb = geo_sub = None
     else:
-        g_static, g_perm, g_caabb, g_saabb = geo
+        g_static, g_perm, g_caabb, g_saabb, g_sub = geo
         geo_static = jnp.asarray(g_static)
         geo_perm = jnp.asarray(g_perm)
         geo_caabb = jnp.asarray(g_caabb)
         geo_saabb = None if g_saabb is None else jnp.asarray(g_saabb)
+        geo_sub = jnp.asarray(g_sub)
     return TriangleData(
         planes=jax.tree_util.tree_map(jnp.asarray, planes),
         normals=jnp.asarray(normals),
@@ -294,8 +301,10 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
         pair_table=pair_table,
         cluster_aabbs=cluster_aabbs,
         super_aabbs=super_aabbs,
+        sub_aabbs=sub_aabbs,
         geo_static=geo_static,
         geo_perm=geo_perm,
         geo_cluster_aabbs=geo_caabb,
         geo_super_aabbs=geo_saabb,
+        geo_sub_aabbs=geo_sub,
     )
