@@ -761,9 +761,10 @@ def _ordered_stream_loop(
 
     Three phases, all per (tile, call):
       A. slab-test every cluster (through the supercluster level when
-         present), binning visited ones by whole-tile entry distance into
-         NBINS distance bins (bins_ref);
-      B. counting-sort visited cluster ids into ids_ref (cnt_ref holds the
+         present), appending visited ones to a compact list (bins_ref) as
+         packed (distance_bin << 16) | cluster entries -- O(visited)
+         everywhere after this, never O(num_clusters);
+      B. counting-sort the visited list into ids_ref (cnt_ref holds the
          bin offsets) -- near bins first;
       C. walk the sorted list with two HBM->SMEM DMA buffers in flight
          (prefetch distance 2), re-testing each cluster against the
@@ -782,6 +783,7 @@ def _ordered_stream_loop(
     packed row on exact ties within a cluster; cross-cluster exact-t ties
     between non-coplanar primitives are measure-zero).
     """
+    assert num_clusters < (1 << 16), "packed visit entries hold 16-bit ids"
     tiny = jnp.float32(1e-12)
     inv_dx = 1.0 / jnp.where(jnp.abs(dx) < tiny, tiny, dx)
     inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny, tiny, dy)
@@ -789,14 +791,14 @@ def _ordered_stream_loop(
     nbins_f = jnp.float32(NBINS)
     bin_w = 1.0 / (inv_diam * nbins_f)  # bin lower-bound distance step
 
-    # --- phase A: bin visited clusters by entry distance ---
-    def clear_bin(c, acc):
-        bins_ref[c] = -1
-        return acc
-
-    jax.lax.fori_loop(0, num_clusters, clear_bin, 0)
-
-    def test_cluster(c):
+    # --- phase A: append visited clusters to a compact list ---
+    # Append-only into (vids, vbins): every phase is O(visited), never
+    # O(num_clusters) -- the old dense bins array cost three O(C) scalar
+    # loops (clear/count/scatter) per tile per call, ~2 s/frame at
+    # Sponza-scale C. Entries are packed as (bin << 16) | cluster into ONE
+    # SMEM slot per visit (halves the scalar writes; C < 2^16 enforced by
+    # hierarchy_sizes' csize floor of 8 and the HBM table size).
+    def test_cluster(c, n):
         tmin, ok = _slab_test(caabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz)
         near = alive & ok
         tmin_pos = jnp.min(
@@ -808,51 +810,46 @@ def _ordered_stream_loop(
 
         # tmin_pos < 1e30 also rejects DEGENERATE_BOX pad clusters for the
         # measure-zero ray aimed exactly at the pad point
-        @pl.when(jnp.any(near) & (tmin_pos < jnp.float32(1e30)))
+        visited = jnp.any(near) & (tmin_pos < jnp.float32(1e30))
+
+        @pl.when(visited)
         def _():
-            bins_ref[c] = b
+            bins_ref[n] = (b << 16) | c
+
+        return n + visited.astype(jnp.int32)
 
     if num_supers:
-        def super_body(g, acc):
+        def super_body(g, n):
             _, sok = _slab_test(
                 saabb_ref, g, ox, oy, oz, inv_dx, inv_dy, inv_dz
             )
 
-            @pl.when(jnp.any(alive & sok))
-            def _():
-                def inner(cj, acc2):
-                    test_cluster(g * ssize + cj)
-                    return acc2
+            def inner(cj, n2):
+                return test_cluster(g * ssize + cj, n2)
 
-                jax.lax.fori_loop(0, ssize, inner, 0)
+            return jax.lax.cond(
+                jnp.any(alive & sok),
+                lambda n2: jax.lax.fori_loop(0, ssize, inner, n2),
+                lambda n2: n2,
+                n,
+            )
 
-            return acc
-
-        jax.lax.fori_loop(0, num_supers, super_body, 0)
+        total_v = jax.lax.fori_loop(0, num_supers, super_body, 0)
     else:
-        def cl_body(c, acc):
-            test_cluster(c)
-            return acc
+        total_v = jax.lax.fori_loop(0, num_clusters, test_cluster, 0)
 
-        jax.lax.fori_loop(0, num_clusters, cl_body, 0)
-
-    # --- phase B: counting sort by bin ---
+    # --- phase B: counting sort of the visited list by bin ---
     def zero_cnt(b, acc):
         cnt_ref[b] = 0
         return acc
 
     jax.lax.fori_loop(0, NBINS, zero_cnt, 0)
 
-    def count(c, acc):
-        b = bins_ref[c]
-
-        @pl.when(b >= 0)
-        def _():
-            cnt_ref[b] = cnt_ref[b] + 1
-
+    def count(k, acc):
+        cnt_ref[bins_ref[k] >> 16] = cnt_ref[bins_ref[k] >> 16] + 1
         return acc
 
-    jax.lax.fori_loop(0, num_clusters, count, 0)
+    jax.lax.fori_loop(0, total_v, count, 0)
 
     def prefix(b, tot):
         v = cnt_ref[b]
@@ -861,25 +858,22 @@ def _ordered_stream_loop(
 
     total = jax.lax.fori_loop(0, NBINS, prefix, 0)
 
-    def scatter(c, acc):
-        b = bins_ref[c]
-
-        @pl.when(b >= 0)
-        def _():
-            pos = cnt_ref[b]
-            ids_ref[pos] = c
-            cnt_ref[b] = pos + 1
-
+    def scatter(k, acc):
+        e = bins_ref[k]
+        pos = cnt_ref[e >> 16]
+        ids_ref[pos] = e
+        cnt_ref[e >> 16] = pos + 1
         return acc
 
-    jax.lax.fori_loop(0, num_clusters, scatter, 0)
+    jax.lax.fori_loop(0, total_v, scatter, 0)
 
     # --- phase C: pipelined DMA walk, near bins first ---
     block = csize + NSUB  # NSUB-row sub-AABB header + csize table rows
     k_rows = csize // NSUB  # rows per sub-block
+    cmask = jnp.int32(0xFFFF)
 
     def dma(k, buf, sem):
-        c = ids_ref[k]
+        c = ids_ref[k] & cmask
         return pltpu.make_async_copy(
             table_ref.at[pl.ds(c * block, block), :], buf, sem
         )
@@ -894,10 +888,11 @@ def _ordered_stream_loop(
 
     def slot(k, buf, sem, state):
         dma(k, buf, sem).wait()
-        c = ids_ref[k]
+        e = ids_ref[k]
+        c = e & cmask
         best = state[0]
         max_best = jnp.max(jnp.where(alive, best, jnp.float32(-3.4e38)))
-        lb = bins_ref[c].astype(jnp.float32) * bin_w
+        lb = (e >> 16).astype(jnp.float32) * bin_w
         tmin, ok = _slab_test(caabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz)
         near = alive & ok & (tmin < best)
 
