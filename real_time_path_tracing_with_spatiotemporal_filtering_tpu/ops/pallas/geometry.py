@@ -325,8 +325,9 @@ def pack_geometry_clusters(tri_data):
             np.asarray(tri_data.albedo), np.asarray(tri_data.normals),
         ],
         axis=1,
-    ).astype(np.float32)[perm]  # (T, 21)
-    cur = tris[perm].reshape(num_tris, 9)
+    ).astype(np.float32, copy=False)[perm]  # (T, 21)
+    tris_perm = tris[perm]  # gathered once: cur verts + cluster extents
+    cur = tris_perm.reshape(num_tris, 9)
     prim = (perm + 1).astype(np.float32)[:, None]
     static = np.concatenate([tri_table, cur, prim], axis=1)
 
@@ -335,8 +336,8 @@ def pack_geometry_clusters(tri_data):
         static = np.concatenate(
             [static, np.zeros((padded_rows - num_tris, _GEO_STATIC_COLS), np.float32)]
         )
-    lo = tris[perm].min(1)
-    hi = tris[perm].max(1)
+    lo = tris_perm.min(1)
+    hi = tris_perm.max(1)
     caabb = _group_aabbs(lo, hi, csize)
     sub = _group_aabbs(lo, hi, max(csize // NSUB, 1))
     sub_needed = num_clusters * NSUB
@@ -361,7 +362,7 @@ def pack_geometry_clusters(tri_data):
         ghi = np.where(real[:, :, None], grouped[:, :, 3:], -np.inf).max(axis=1)
         saabb = np.concatenate([glo, ghi], axis=1).astype(np.float32)
         saabb[~real.any(axis=1)] = np.float32(3e37)
-    return static.astype(np.float32), perm, caabb, saabb, sub
+    return static.astype(np.float32, copy=False), perm, caabb, saabb, sub
 
 
 def _geometry_clustered_kernel(
