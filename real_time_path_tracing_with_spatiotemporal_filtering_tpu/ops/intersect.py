@@ -89,6 +89,18 @@ def nearest_hit(
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
 
+    if planes.n.shape[0] == 0:
+        # empty scene: every ray misses (sky only); argmin over zero
+        # triangles is undefined, so short-circuit
+        zero_f = jnp.zeros(batch_shape, jnp.float32)
+        return HitRecord(
+            t=jnp.full(batch_shape, jnp.float32(t_max)),
+            prim=jnp.zeros(batch_shape, jnp.int32),
+            hit=jnp.zeros(batch_shape, bool),
+            bary_u=zero_f,
+            bary_v=zero_f,
+        )
+
     # HIGHEST precision: TPU matmuls default to bf16 MXU passes, whose
     # 8-bit mantissas visibly bend rays (hits land ~0.5% off the true
     # line); geometry needs full f32.

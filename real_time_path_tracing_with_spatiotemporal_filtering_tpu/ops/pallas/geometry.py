@@ -547,6 +547,11 @@ def geometry_pass_pallas(
             assemble_stream_table,
         )
 
+        # The full 128-col table is re-assembled in-graph every frame even
+        # though only prev9 varies: ~2 passes over ~128 MB at 250k tris
+        # ~= 0.5 ms of HBM traffic, <0.2% of the geometry pass -- not worth
+        # a static/dynamic split (lut_prev is traced history state, so XLA
+        # cannot fold the static columns either way).
         table = jnp.concatenate(
             [
                 geo_static,
@@ -565,12 +570,11 @@ def geometry_pass_pallas(
         saabb = tri_data.geo_super_aabbs
         if saabb is None:
             saabb = jnp.zeros((1, 6), f32)
-        # scene diameter for the ordered traversal's distance bins
-        # (in-graph; degenerate +/-1e30 pad rows masked out)
-        finite = caabb[:, 0] < 1e29
-        lo = jnp.min(jnp.where(finite[:, None], caabb[:, :3], jnp.inf), axis=0)
-        hi = jnp.max(jnp.where(finite[:, None], caabb[:, 3:], -jnp.inf), axis=0)
-        inv_diam = 1.0 / jnp.maximum(jnp.linalg.norm(hi - lo), 1e-6)
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+            scene_bounds_from_clusters,
+        )
+
+        inv_diam, _, _ = scene_bounds_from_clusters(caabb)
         fparams = jnp.concatenate(
             [fparams, jnp.asarray(inv_diam, f32).reshape(1)]
         )

@@ -132,6 +132,12 @@ def pack_shading_pairs(tri_data) -> "np.ndarray":
     albedo = np.asarray(tri_data.albedo)
     normals = np.asarray(tri_data.normals)
     num = n.shape[0]
+    if num == 0:
+        # empty scene: sky-only render, zero-iteration pair loop
+        return (
+            np.zeros((0, PAIR_COLS), np.float32),
+            np.zeros((0, 2), np.int64),
+        )
 
     # same oriented plane (normalized) and same material, for (i, i+1);
     # tolerances replicate np.allclose's |a-b| <= atol + rtol*|b| form used
@@ -339,19 +345,19 @@ def cluster_size_for(num_pairs: int) -> int:
     return cs
 
 
-def build_clusters(tri_data, pair_order, csize):
-    """Cluster AABBs for Morton-ordered pairs: (C, 6) [min3 | max3].
-
-    ``pair_order``: list of (a, b) triangle-index pairs in packed order.
-    Clusters are ``csize`` consecutive pairs (Morton order keeps them
-    spatially tight).
-    """
-    tris = np.asarray(tri_data.lut)[1:]  # (T, 3, 3)
-    pairs = np.asarray(pair_order, np.int64).reshape(-1, 2)
-    a, b = pairs[:, 0], pairs[:, 1]
-    lo = np.minimum(tris[a].min(1), tris[b].min(1))  # (P, 3)
-    hi = np.maximum(tris[a].max(1), tris[b].max(1))
-    return _group_aabbs(lo, hi, csize)
+def scene_bounds_from_clusters(cluster_aabbs):
+    """(inv_diam scalar) from a cluster AABB table, masking DEGENERATE_BOX
+    pad rows (point boxes at +3e37). In-graph: tables may be traced. The
+    single source for the streamed traversal's distance-bin scale (used by
+    the megakernel, the wavefront tracer and the geometry kernel)."""
+    finite = cluster_aabbs[:, 0] < 1e29
+    lo = jnp.min(
+        jnp.where(finite[:, None], cluster_aabbs[:, :3], jnp.inf), axis=0
+    )
+    hi = jnp.max(
+        jnp.where(finite[:, None], cluster_aabbs[:, 3:], -jnp.inf), axis=0
+    )
+    return 1.0 / jnp.maximum(jnp.linalg.norm(hi - lo), 1e-6), lo, hi
 
 
 # Degenerate pad boxes are POINT boxes far outside any scene: per-axis
@@ -1467,18 +1473,9 @@ def path_trace_pass_pallas(
     if rotation is None:
         rotation = jnp.eye(3, dtype=jnp.float32)
     # scene-diameter scale for the streamed traversal's distance bins
-    # (in-graph: tri_data may be traced). Padded cluster rows are
-    # degenerate +/-1e30 boxes; mask them out of the scene AABB.
+    # (in-graph: tri_data may be traced)
     if stream_tables and cluster_aabbs.shape[0] > 1:
-        finite = cluster_aabbs[:, 0] < 1e29
-        lo = jnp.min(
-            jnp.where(finite[:, None], cluster_aabbs[:, :3], jnp.inf), axis=0
-        )
-        hi = jnp.max(
-            jnp.where(finite[:, None], cluster_aabbs[:, 3:], -jnp.inf), axis=0
-        )
-        diam = jnp.linalg.norm(hi - lo)
-        inv_diam = 1.0 / jnp.maximum(diam, 1e-6)
+        inv_diam, _, _ = scene_bounds_from_clusters(cluster_aabbs)
     else:
         inv_diam = jnp.float32(1.0)
     fparams = jnp.concatenate(

@@ -50,6 +50,7 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtra
     _shade_segment,
     assemble_stream_table,
     hierarchy_sizes,
+    scene_bounds_from_clusters,
 )
 
 _U = jnp.uint32
@@ -102,17 +103,10 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_size):
 
 
 def _scene_bounds(cluster_aabbs):
-    """(lo (3,), inv_size (3,), inv_diam ()) from the cluster AABB table,
-    masking degenerate +/-1e30 pad rows. In-graph (tables may be traced)."""
-    finite = cluster_aabbs[:, 0] < 1e29
-    lo = jnp.min(
-        jnp.where(finite[:, None], cluster_aabbs[:, :3], jnp.inf), axis=0
-    )
-    hi = jnp.max(
-        jnp.where(finite[:, None], cluster_aabbs[:, 3:], -jnp.inf), axis=0
-    )
+    """(lo (3,), inv_size (3,), inv_diam ()) for the sort key + distance
+    bins, from the shared masked reduction (pathtrace)."""
+    inv_diam, lo, hi = scene_bounds_from_clusters(cluster_aabbs)
     size = jnp.maximum(hi - lo, 1e-6)
-    inv_diam = 1.0 / jnp.maximum(jnp.linalg.norm(hi - lo), 1e-6)
     return lo, 1.0 / size, inv_diam
 
 

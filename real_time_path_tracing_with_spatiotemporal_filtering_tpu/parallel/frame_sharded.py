@@ -100,11 +100,25 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         depth = geo.depth
         normal_img = geo.normal
         lam = geo.lam
-        noisy = pt_mod.path_trace_pass_pallas(
-            tri_data, camera.position, light, frame_idx, cfg,
-            row_offset=row_offset, rows=local_h,
-            interpret=interpret, rotation=camera.rotation,
-        )
+        if pt_mod.trace_needs_streaming(tri_data):
+            # same routing as the single-chip frame: beyond-SMEM scenes go
+            # to the wavefront tracer (the resident megakernel's VMEM table
+            # would blow the cap pallas_scene_supported waived for them)
+            from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+                wavefront as wf_mod,
+            )
+
+            noisy = wf_mod.path_trace_wavefront(
+                tri_data, camera.position, light, frame_idx, cfg,
+                row_offset=row_offset, rows=local_h,
+                interpret=interpret, rotation=camera.rotation,
+            )
+        else:
+            noisy = pt_mod.path_trace_pass_pallas(
+                tri_data, camera.position, light, frame_idx, cfg,
+                row_offset=row_offset, rows=local_h,
+                interpret=interpret, rotation=camera.rotation,
+            )
     else:
         gbuf = gbuffer.visibility_pass(
             tri_data, camera.position, view, proj, cfg,

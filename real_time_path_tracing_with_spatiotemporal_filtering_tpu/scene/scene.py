@@ -226,6 +226,13 @@ def precompute_triangle_data(scene: Scene, albedo=None) -> TriangleData:
     concrete = not isinstance(scene.vertices, jax.core.Tracer) and not isinstance(
         scene.indices, jax.core.Tracer
     )
+    if concrete and scene.num_triangles == 0:
+        # empty scene: substitute one degenerate triangle (zero area -> its
+        # plane normal is 0, so every intersection test self-rejects) and
+        # render sky only; keeps every downstream gather/argmin non-empty
+        scene = Scene.from_arrays(
+            np.zeros((3, 3), np.float32), np.array([[0, 1, 2]], np.int32)
+        )
     if concrete and scene.num_triangles >= _NUMPY_PREP_MIN_TRIS:
         tris_np = np.asarray(scene.vertices)[np.asarray(scene.indices)]
         planes, normals, albedo_np, lut, lut_normals = _base_tables_np(tris_np)

@@ -206,3 +206,30 @@ def test_oversize_scene_warns_once_on_fallback():
 def test_device_info_exposes_row_cap():
     info = device_info()
     assert info["pallas_resident_row_cap"] > 20_000
+
+
+def test_empty_scene_renders_sky():
+    """A zero-triangle scene must load and render (sky gradient only) --
+    pack_shading_pairs degrades to an empty pair table, not a crash."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.config import (
+        RenderConfig,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.renderer import (
+        Renderer,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+    )
+
+    scene = Scene.from_arrays(
+        np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    )
+    cfg = RenderConfig(width=48, height=32, max_bounces=3,
+                       wavelet_iterations=3)
+    r = Renderer(scene, cfg)
+    out = np.asarray(r.step())
+    assert np.isfinite(out).all()
+    assert out.max() > 0.0  # the sky gradient is visible

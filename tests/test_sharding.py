@@ -132,3 +132,50 @@ def test_mesh_validation():
             RenderConfig(width=8, height=10, wavelet_iterations=3),
             sharding.make_mesh(min(4, len(jax.devices()))),
         )
+
+
+@requires_8
+def test_sharded_streaming_scene_routes_to_wavefront(rng_np):
+    """A beyond-SMEM clustered scene must take the same wavefront route on
+    the sharded path as single-chip (the resident megakernel's VMEM table
+    would exceed the cap that pallas_scene_supported waives for streamed
+    scenes) and match the single-chip Pallas frame."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+        pathtrace as pt_mod,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = RenderConfig(
+        width=128, height=64, max_bounces=3, wavelet_iterations=3,
+        backend="pallas",
+    )
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(12))
+    )
+    assert pt_mod.trace_needs_streaming(td)  # the route under test
+
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(td, cfg, mesh)
+    hist_ref = frame_mod.init_history(td, cfg)
+    cam, light = Camera.default(), Light.default()
+    for _ in range(2):
+        rgb_s, hist_s = sharded(td, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            td, cam, light, hist_ref, cfg
+        )
+    # Not bit-equal by design: each shard sorts ITS rays, so clusters are
+    # tested in a different order than the global sort, and a ray hitting
+    # exactly on a shared edge between triangles in DIFFERENT clusters can
+    # break its exact-t tie toward the other twin (same t, same plane --
+    # measure-zero pixels on tessellated geometry, bounded here).
+    a, b = np.asarray(rgb_s), np.asarray(rgb_ref)
+    assert np.isfinite(a).all()
+    mismatched = (np.abs(a - b) > 1e-6 + 1e-5 * np.abs(b)).any(axis=-1)
+    assert mismatched.mean() <= 5e-4, f"{mismatched.sum()} pixels differ"
