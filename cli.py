@@ -27,6 +27,9 @@ def main() -> None:
     parser.add_argument("--spp", type=int, default=1)
     parser.add_argument("--max-bounces", type=int, default=32)
     parser.add_argument("--wavelet-iterations", type=int, default=9)
+    parser.add_argument("--variance-guided", action="store_true",
+                        help="full SVGF: variance-normalized a-trous "
+                             "weights (extension; off = reference parity)")
     parser.add_argument("--adaptive-alpha", action="store_true",
                         help="enable gradient-driven adaptive EMA alpha")
     parser.add_argument("--no-light-quirk", action="store_true",
@@ -64,6 +67,7 @@ def main() -> None:
         max_bounces=args.max_bounces,
         wavelet_iterations=args.wavelet_iterations,
         adaptive_alpha=args.adaptive_alpha,
+        variance_guided=args.variance_guided,
         light_through_walls=not args.no_light_quirk,
     )
     if args.scene:
