@@ -108,9 +108,12 @@ def main():
                 wf_ms = time_pass(wf, args.frames)
             except Exception as e:  # noqa: BLE001
                 print(f"tris={ntri} wavefront FAILED: {type(e).__name__}: {e}")
+        def fmt(ms):
+            return "   skipped" if ms != ms else f"{ms:10.2f}ms"
+
         line = (
             f"tris={ntri:>7} prep={prep_s*1e3:8.1f}ms geometry={g_ms:9.2f}ms "
-            f"trace={t_ms:10.2f}ms wavefront={wf_ms:10.2f}ms stream={stream}"
+            f"trace={fmt(t_ms)} wavefront={fmt(wf_ms)} stream={stream}"
         )
         if args.full_frame:
             r = ptsf.Renderer(scene, cfg)

@@ -1,0 +1,135 @@
+"""Traversal-counter probe for the wavefront tracer (DESIGN_ROUND3 §1).
+
+Runs one 1-spp wavefront trace with the in-kernel counters enabled and
+prints, per bounce segment and in total, where the streamed row loop's
+work actually goes: clusters visited per tile, row phases run vs bin-
+pruned, live-lane occupancy of run clusters, and sub-block row counts.
+These numbers pick between the round-3 optimization candidates
+(occupancy compaction / cond gating / sub-block granularity / phase-A
+cost). Usage:
+
+    python -m benchmarks.traversal_stats [--tris 247808] [--width 1920]
+        [--height 1080] [--segments 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tris", type=int, default=32768)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--segments", type=int, default=32)
+    p.add_argument("--interpret", action="store_true")
+    p.add_argument("--sort-mode", default="cell_oct")
+    p.add_argument(
+        "--time", action="store_true",
+        help="also time the production (non-stats) trace",
+    )
+    args = p.parse_args()
+
+    import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+        pathtrace as pt_mod,
+        wavefront as wf_mod,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+
+    cfg = ptsf.RenderConfig(
+        width=args.width, height=args.height, max_bounces=args.segments
+    )
+    splits = max(1, int(round((args.tris / 32) ** 0.5)))
+    verts, idx = procedural.subdivided_cornell(splits)
+    scene = ptsf.Scene.from_arrays(verts, idx)
+    td = ptsf.precompute_triangle_data(scene)
+    csize, num_clusters, ssize, num_supers = pt_mod.hierarchy_sizes(
+        int(td.pair_table.shape[0])
+    )
+    k_rows = csize // pt_mod.NSUB
+    lanes = wf_mod._LANES
+    print(
+        f"# tris={scene.num_triangles} pairs={int(td.pair_table.shape[0])} "
+        f"csize={csize} clusters={num_clusters} ssize={ssize} "
+        f"supers={num_supers} k_rows={k_rows}"
+    )
+
+    cam = ptsf.Camera.default()
+    light = ptsf.Light.default()
+    _, stats = wf_mod.path_trace_wavefront(
+        td, cam.position, light, 1, cfg,
+        interpret=args.interpret, collect_stats=True,
+        sort_mode=args.sort_mode,
+    )
+
+    tot = np.zeros(8, np.int64)
+    hdr = (
+        "seg  tiles visited/t run/t skip/t supers/t  occ%  sb/run "
+        "sb_occ% rows/t"
+    )
+    print(hdr)
+    for seg, s in enumerate(stats):
+        s = s.astype(np.int64)
+        live_tiles = int((s[:, 0] > 0).sum()) or 1
+        t = s.sum(0)
+        tot += t
+        runs = max(int(t[2]), 1)
+        sbs = max(int(t[4]), 1)
+        print(
+            f"{seg:3d} {live_tiles:6d} {t[0]/live_tiles:9.1f} "
+            f"{t[2]/live_tiles:5.1f} {t[6]/live_tiles:6.1f} "
+            f"{t[1]/live_tiles:8.1f} {100.0*t[3]/(runs*lanes):5.1f} "
+            f"{t[4]/runs:7.2f} {100.0*t[5]/(sbs*lanes):7.1f} "
+            f"{t[4]*k_rows/live_tiles:6.0f}"
+        )
+    runs = max(int(tot[2]), 1)
+    sbs = max(int(tot[4]), 1)
+    print(
+        f"TOTAL visited={tot[0]} run={tot[2]} skipped={tot[6]} "
+        f"supers={tot[1]} rows={tot[4]*k_rows} "
+        f"occ%={100.0*tot[3]/(runs*lanes):.1f} "
+        f"sb_occ%={100.0*tot[5]/(sbs*lanes):.1f}"
+    )
+    # first-order time model (v5e): ~85 ns per whole-tile slab test, ~130
+    # ns per table row, ~85 ns per sub-block header test
+    ms = 1e-6
+    slab_tests = tot[0] + tot[1] * 0  # visited appends imply a slab test each
+    phase_a = (tot[1] * ssize if num_supers else 0) * 85 * ms
+    rows_t = tot[4] * k_rows * 130 * ms
+    hdrs_t = tot[2] * pt_mod.NSUB * 85 * ms
+    slot_t = tot[0] * 200 * ms
+    print(
+        f"# model: phaseA~{phase_a:.0f}ms rows~{rows_t:.0f}ms "
+        f"headers~{hdrs_t:.0f}ms slot~{slot_t:.0f}ms "
+        f"(slab appends {slab_tests})"
+    )
+
+    if args.time:
+        import time
+
+        import jax
+
+        fn = jax.jit(
+            lambda f: wf_mod.path_trace_wavefront(
+                td, cam.position, light, f, cfg, sort_mode=args.sort_mode
+            )[..., 0]
+        )
+        out = fn(1)
+        np.asarray(out[0, 0])
+        t0 = time.perf_counter()
+        frames = 2
+        for i in range(frames):
+            out = fn(i + 2)
+        np.asarray(out[0, 0])
+        ms = (time.perf_counter() - t0) / frames * 1000.0
+        print(f"# trace time ({args.sort_mode}): {ms:.0f} ms/frame")
+
+
+if __name__ == "__main__":
+    main()

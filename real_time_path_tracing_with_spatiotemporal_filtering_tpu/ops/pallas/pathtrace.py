@@ -762,6 +762,7 @@ def _ordered_stream_loop(
     ox, oy, oz, dx, dy, dz, alive, inv_diam,
     row_fn, init_state,
     bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+    counters=None,
 ):
     """Streamed nearest-hit traversal in approximate front-to-back order.
 
@@ -784,6 +785,12 @@ def _ordered_stream_loop(
     table rows (the DMA buffers are (csize+NSUB, COLS)).
     ``row_fn(buf_ref, r, state) -> state`` consumes one table row from the
     active SMEM buffer; ``state[0]`` must be the per-lane best hit t.
+    ``counters`` (optional (8,) int32 SMEM ref, pre-zeroed) collects
+    traversal statistics without touching the computed state:
+    [0] visited clusters, [1] super groups passed, [2] cluster row phases
+    run, [3] sum of per-run live-lane counts, [4] sub-blocks run,
+    [5] sum of per-sub-block live-lane counts, [6] visited clusters whose
+    row phase was skipped (bin-pruned or no live lane).
     Returns the final state. Ordering only changes which primitives are
     *tested*, never the committed nearest hit (strict < keeps the first
     packed row on exact ties within a cluster; cross-cluster exact-t ties
@@ -829,12 +836,17 @@ def _ordered_stream_loop(
             _, sok = _slab_test(
                 saabb_ref, g, ox, oy, oz, inv_dx, inv_dy, inv_dz
             )
+            spass = jnp.any(alive & sok)
+            if counters is not None:
+                @pl.when(spass)
+                def _():
+                    counters[1] = counters[1] + 1
 
             def inner(cj, n2):
                 return test_cluster(g * ssize + cj, n2)
 
             return jax.lax.cond(
-                jnp.any(alive & sok),
+                spass,
                 lambda n2: jax.lax.fori_loop(0, ssize, inner, n2),
                 lambda n2: n2,
                 n,
@@ -843,6 +855,8 @@ def _ordered_stream_loop(
         total_v = jax.lax.fori_loop(0, num_supers, super_body, 0)
     else:
         total_v = jax.lax.fori_loop(0, num_clusters, test_cluster, 0)
+    if counters is not None:
+        counters[0] = counters[0] + total_v
 
     # --- phase B: counting sort of the visited list by bin ---
     def zero_cnt(b, acc):
@@ -930,6 +944,14 @@ def _ordered_stream_loop(
                 )
                 ok_sb = tmax_sb >= jnp.maximum(tmin_sb, 0.0)
                 near_sb = alive & ok_sb & (tmin_sb < s2[0])
+                run_sb = jnp.any(near_sb)
+                if counters is not None:
+                    @pl.when(run_sb)
+                    def _():
+                        counters[4] = counters[4] + 1
+                        counters[5] = counters[5] + jnp.sum(
+                            near_sb.astype(jnp.int32)
+                        )
 
                 def rows(s3):
                     def body(j, s4):
@@ -937,15 +959,22 @@ def _ordered_stream_loop(
 
                     return jax.lax.fori_loop(0, k_rows, body, s3)
 
-                return jax.lax.cond(
-                    jnp.any(near_sb), rows, lambda s3: s3, s2
-                )
+                return jax.lax.cond(run_sb, rows, lambda s3: s3, s2)
 
             return jax.lax.fori_loop(0, NSUB, sub_body, s)
 
-        state = jax.lax.cond(
-            jnp.any(near) & (lb <= max_best), run, lambda s: s, state
-        )
+        run_c = jnp.any(near) & (lb <= max_best)
+        if counters is not None:
+            @pl.when(run_c)
+            def _():
+                counters[2] = counters[2] + 1
+                counters[3] = counters[3] + jnp.sum(near.astype(jnp.int32))
+
+            @pl.when(jnp.logical_not(run_c))
+            def _():
+                counters[6] = counters[6] + 1
+
+        state = jax.lax.cond(run_c, run, lambda s: s, state)
 
         @pl.when(k + 2 < total)
         def _():

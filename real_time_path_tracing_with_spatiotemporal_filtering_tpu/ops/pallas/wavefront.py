@@ -79,9 +79,44 @@ def _spread4(x):
     )
 
 
-def _sort_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_size):
-    """Coherence key: 12-bit origin Morton cell (16^3 grid over the scene
-    AABB) then 3-bit direction octant; dead rays sort to the tail."""
+def _dir_bin(dx, dy, dz):
+    """7-bit cube-map direction bin: dominant-axis face (0..5) x 4x4
+    quantized face coordinates -> 96 direction cones of ~1/96 of the
+    sphere each (half-angle ~14 degrees)."""
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    m = jnp.maximum(ax, jnp.maximum(ay, az))
+    is_x = ax >= jnp.maximum(ay, az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(dx > 0.0, 0, 1),
+        jnp.where(
+            is_y,
+            jnp.where(dy > 0.0, 2, 3),
+            jnp.where(dz > 0.0, 4, 5),
+        ),
+    )
+    inv_m = 1.0 / jnp.maximum(m, jnp.float32(1e-12))
+    u = jnp.where(is_x, dy, dx) * inv_m
+    v = jnp.where(is_x | is_y, dz, dy) * inv_m
+    qu = jnp.clip(((u + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    qv = jnp.clip(((v + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    return face * 16 + qu * 4 + qv
+
+
+# Ray-coherence sort key layouts (A/B'd on hardware with
+# benchmarks/traversal_stats; see docs/DESIGN_ROUND3.md section 1).
+# Round-2 default was "cell_oct": 12-bit origin Morton major, 3-bit
+# octant minor. Its flaw, measured: a 4096-ray tile spans ~65
+# consecutive key buckets, i.e. ALL 8 octants of ~8 cells -- tiles get
+# tight origins but near-isotropic directions, and post-bounce tiles
+# visit ~94% of all clusters (32k probe). The alternatives trade origin
+# resolution for direction resolution within the ~507-tile budget.
+SORT_MODES = ("cell_oct", "oct_cell", "dir_cell", "mix")
+
+
+def _sort_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_size, mode="cell_oct"):
+    """Coherence key; dead rays sort to the tail (sentinel 1<<30)."""
     def cell(o, axis):
         q = ((o - lo[axis]) * inv_size[axis] * jnp.float32(16.0)).astype(
             jnp.int32
@@ -93,37 +128,69 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_size):
         | (_spread4(cell(oy, 1)) << 1)
         | (_spread4(cell(oz, 2)) << 2)
     )
-    oct3 = (
-        (dx > 0.0).astype(jnp.int32) * 4
-        + (dy > 0.0).astype(jnp.int32) * 2
-        + (dz > 0.0).astype(jnp.int32)
-    )
-    key = (m << 3) | oct3
+    if mode == "cell_oct":
+        oct3 = (
+            (dx > 0.0).astype(jnp.int32) * 4
+            + (dy > 0.0).astype(jnp.int32) * 2
+            + (dz > 0.0).astype(jnp.int32)
+        )
+        key = (m << 3) | oct3
+    elif mode == "oct_cell":
+        oct3 = (
+            (dx > 0.0).astype(jnp.int32) * 4
+            + (dy > 0.0).astype(jnp.int32) * 2
+            + (dz > 0.0).astype(jnp.int32)
+        )
+        key = (oct3 << 12) | m
+    elif mode == "dir_cell":
+        key = (_dir_bin(dx, dy, dz) << 12) | m
+    elif mode == "mix":
+        # balanced split: coarse origin (top 5 Morton bits), full
+        # direction bin, fine origin -- a tile lands in one coarse
+        # region with a narrow direction spread
+        d = _dir_bin(dx, dy, dz)
+        key = ((m >> 7) << 14) | (d << 7) | (m & 0x7F)
+    else:
+        raise ValueError(f"unknown sort mode {mode!r}")
     return jnp.where(alive != 0, key, jnp.int32(1 << 30))
 
 
 def _scene_bounds(cluster_aabbs):
-    """(lo (3,), inv_size (3,), inv_diam ()) for the sort key + distance
-    bins, from the shared masked reduction (pathtrace)."""
+    """(lo (3,), inv_size (3,), inv_diam (), hi (3,)) for the sort key,
+    distance bins and exit clamp, from the shared masked reduction
+    (pathtrace)."""
     inv_diam, lo, hi = scene_bounds_from_clusters(cluster_aabbs)
     size = jnp.maximum(hi - lo, 1e-6)
-    return lo, 1.0 / size, inv_diam
+    return lo, 1.0 / size, inv_diam, hi
 
 
 def _wavefront_kernel(
     fparams_ref, iparams_ref, table_ref, caabb_ref, saabb_ref,
-    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
-    tpr_r, tpg_r, tpb_r, rsr_r, rsg_r, rsb_r, st_r, al_r,
-    o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
-    o_tpr, o_tpg, o_tpb, o_rsr, o_rsg, o_rsb, o_st, o_al,
-    bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
-    *, cfg, num_clusters, csize, num_supers, ssize,
+    *refs, cfg, num_clusters, csize, num_supers, ssize, collect_stats=False,
 ):
-    """One bounce segment over a (TILE_H, TILE_W) block of sorted rays."""
+    """One bounce segment over a (TILE_H, TILE_W) block of sorted rays.
+
+    ``refs`` is 14 input planes, 14 output planes, an optional (1, 128)
+    int32 stats output (when ``collect_stats``), then the traversal
+    scratch refs (bins, ids, cnt, two DMA buffers + semaphores, and the
+    (8,) counters ref when ``collect_stats``)."""
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+     tpr_r, tpg_r, tpb_r, rsr_r, rsg_r, rsb_r, st_r, al_r) = refs[:14]
+    (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
+     o_tpr, o_tpg, o_tpb, o_rsr, o_rsg, o_rsb, o_st, o_al) = refs[14:28]
+    if collect_stats:
+        o_stats = refs[28]
+        (bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+         counters) = refs[29:]
+    else:
+        bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1 = refs[28:]
+        counters = None
     lx, ly, lz = fparams_ref[0], fparams_ref[1], fparams_ref[2]
     hdr_r, hdr_g, hdr_b = fparams_ref[3], fparams_ref[4], fparams_ref[5]
     radius = fparams_ref[6]
     inv_diam = fparams_ref[7]
+    scene_lo = (fparams_ref[8], fparams_ref[9], fparams_ref[10])
+    scene_hi = (fparams_ref[11], fparams_ref[12], fparams_ref[13])
     seg = iparams_ref[0]
     inv_first_dim = jnp.float32(1.0 / cfg.first_hit_light_dim)
     eps_off = jnp.float32(cfg.ray_offset_eps)
@@ -141,9 +208,30 @@ def _wavefront_kernel(
          res_r, res_g, res_b, st, alive_i) = args
         alive = alive_i != 0
         big = jnp.float32(cfg.t_max) * jnp.float32(2.0)
+        # Clamp each lane's initial best to its exit distance from the
+        # scene AABB (DESIGN_ROUND3 section 2): a committed triangle hit
+        # lies inside the AABB, so t_hit <= t_exit exactly (with margin
+        # for float evaluation) -- the clamp can never reject a real hit,
+        # but rays that MISS everything now carry a bounded best, so the
+        # traversal's max_best distance-bin pruning fires for them too
+        # (soup / open scenes; a closed box is unchanged).
+        tiny = jnp.float32(1e-12)
+        t_exit = big
+        for o, d, slo, shi in (
+            (ox, dx, scene_lo[0], scene_hi[0]),
+            (oy, dy, scene_lo[1], scene_hi[1]),
+            (oz, dz, scene_lo[2], scene_hi[2]),
+        ):
+            inv = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+            t0 = (slo - o) * inv
+            t1 = (shi - o) * inv
+            t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+        t_exit = jnp.maximum(t_exit, 0.0) * jnp.float32(1.0001) + jnp.float32(
+            1e-3
+        )
         zero = jnp.zeros_like(ox)
         init = (
-            jnp.full_like(ox, big),
+            jnp.minimum(jnp.full_like(ox, big), t_exit),
             jnp.zeros_like(ox, dtype=jnp.int32),
             zero, zero, zero, zero, zero, zero,
         )
@@ -157,6 +245,7 @@ def _wavefront_kernel(
             ox, oy, oz, dx, dy, dz, alive, inv_diam,
             row, init,
             bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+            counters=counters,
         )
         best_t, hit = o_s[0], o_s[1] != 0
         (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
@@ -172,10 +261,22 @@ def _wavefront_kernel(
 
     args = (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
             res_r, res_g, res_b, st, alive_i)
+    if collect_stats:
+        def zero(k, acc):
+            counters[k] = 0
+            return acc
+
+        jax.lax.fori_loop(0, 8, zero, 0)
     # whole-tile skip: sorted dead rays cluster into fully-dead tiles
     out = jax.lax.cond(jnp.any(alive), live, lambda a: a, args)
     (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
      res_r, res_g, res_b, st, alive_i) = out
+    if collect_stats:
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = jnp.zeros((8, 128), jnp.int32)
+        for k in range(8):
+            row = jnp.where(col == k, counters[k], row)
+        o_stats[0] = row
 
     o_ox[:] = ox
     o_oy[:] = oy
@@ -215,13 +316,20 @@ def _sort_segments_for(num_clusters: int, max_bounces: int):
 def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
+    collect_stats=False, sort_mode="cell_oct",
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
     Requires a pair table + cluster hierarchy (pack_shading_pairs /
     build_hierarchy); the table streams from HBM regardless of size.
     Returns (rows, W, 3) radiance (or three planes when ``planar``),
-    bit-identical to the megakernel."""
+    bit-identical to the megakernel.
+
+    ``collect_stats`` (probe mode, 1 spp only): additionally returns a
+    list with one (num_tiles, 8) int32 array per executed bounce segment
+    holding the traversal counters documented on _ordered_stream_loop;
+    the segment loop runs host-side, so this path is for measurement,
+    not production."""
     h = cfg.height if rows is None else rows
     w = cfg.width
     pair_table = tri_data.pair_table
@@ -261,7 +369,7 @@ def path_trace_wavefront(
         rotation = jnp.eye(3, dtype=jnp.float32)
     rot = jnp.asarray(rotation, jnp.float32)
     cam = jnp.asarray(camera_pos, jnp.float32)
-    lo, inv_size, inv_diam = _scene_bounds(cluster_aabbs)
+    lo, inv_size, inv_diam, hi = _scene_bounds(cluster_aabbs)
 
     n_pix = h * w
     n = -(-n_pix // _LANES) * _LANES
@@ -288,27 +396,48 @@ def path_trace_wavefront(
             hdr.reshape(3),
             jnp.array([cfg.light_radius], jnp.float32),
             jnp.asarray(inv_diam, jnp.float32).reshape(1),
+            jnp.asarray(lo, jnp.float32).reshape(3),
+            jnp.asarray(hi, jnp.float32).reshape(3),
         ]
     )
 
     grid = (n_rows // TILE_H,)
+    n_tiles = n_rows // TILE_H
     plane_shape = (n_rows, TILE_W)
-    kernel = functools.partial(
-        _wavefront_kernel, cfg=cfg,
-        num_clusters=num_clusters, csize=csize,
-        num_supers=num_supers, ssize=ssize,
-    )
     f32 = jnp.float32
-    out_shape = (
-        [jax.ShapeDtypeStruct(plane_shape, f32)] * 12
-        + [
-            jax.ShapeDtypeStruct(plane_shape, jnp.uint32),
-            jax.ShapeDtypeStruct(plane_shape, jnp.int32),
-        ]
-    )
     plane_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i: (i, 0))
 
-    def run_segment(seg, planes):
+    def run_segment(seg, planes, stats=False):
+        kernel = functools.partial(
+            _wavefront_kernel, cfg=cfg,
+            num_clusters=num_clusters, csize=csize,
+            num_supers=num_supers, ssize=ssize, collect_stats=stats,
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct(plane_shape, f32)] * 12
+            + [
+                jax.ShapeDtypeStruct(plane_shape, jnp.uint32),
+                jax.ShapeDtypeStruct(plane_shape, jnp.int32),
+            ]
+        )
+        out_specs = [plane_spec] * 14
+        scratch = [
+            pltpu.SMEM((num_clusters,), jnp.int32),
+            pltpu.SMEM((num_clusters,), jnp.int32),
+            pltpu.SMEM((NBINS,), jnp.int32),
+            pltpu.SMEM((csize + NSUB, 128), f32),
+            pltpu.SMEM((csize + NSUB, 128), f32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        if stats:
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32)
+            )
+            out_specs.append(
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))
+            )
+            scratch.append(pltpu.SMEM((8,), jnp.int32))
         iparams = jnp.asarray(seg, jnp.int32).reshape(1)
         outs = pl.pallas_call(
             kernel,
@@ -320,17 +449,9 @@ def path_trace_wavefront(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
             + [plane_spec] * 14,
-            out_specs=[plane_spec] * 14,
+            out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.SMEM((num_clusters,), jnp.int32),
-                pltpu.SMEM((num_clusters,), jnp.int32),
-                pltpu.SMEM((NBINS,), jnp.int32),
-                pltpu.SMEM((csize + NSUB, 128), f32),
-                pltpu.SMEM((csize + NSUB, 128), f32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
             # AABB tables flat 1D (2D SMEM lane-pads to 128 cols)
         )(fparams, iparams, table, caabb_flat, saabb_flat, *planes)
@@ -340,7 +461,7 @@ def path_trace_wavefront(
         (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
          res_r, res_g, res_b, st, alive_i) = [p.reshape(n) for p in planes]
         key = _sort_key(
-            ox, oy, oz, dx, dy, dz, alive_i, lo, inv_size
+            ox, oy, oz, dx, dy, dz, alive_i, lo, inv_size, mode=sort_mode
         )
         sorted_ops = jax.lax.sort(
             (key, ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
@@ -397,27 +518,42 @@ def path_trace_wavefront(
             )
             pix_plane = pix.reshape(plane_shape)
 
-            def cond(c):
-                seg, planes, _ = c
-                return (seg < cfg.max_bounces) & (jnp.max(planes[13]) > 0)
-
-            def body(c):
-                seg, planes, pix_plane = c
-                do_sort = jnp.zeros((), jnp.bool_)
-                for s in _sort_segments_for(num_clusters, cfg.max_bounces):
-                    do_sort = do_sort | (seg == s)
-                planes, pix_plane = jax.lax.cond(
-                    do_sort,
-                    lambda p, q: sort_planes(p, q),
-                    lambda p, q: (p, q),
-                    planes, pix_plane,
+            if collect_stats:
+                assert cfg.spp == 1 and cfg.sample_batches == 1, (
+                    "collect_stats probe supports 1 spp only"
                 )
-                planes = run_segment(seg, planes)
-                return seg + 1, planes, pix_plane
+                stats_out = []
+                sort_at = _sort_segments_for(num_clusters, cfg.max_bounces)
+                for seg in range(cfg.max_bounces):
+                    if not np.asarray(jnp.max(planes[13])) > 0:
+                        break
+                    if seg in sort_at:
+                        planes, pix_plane = sort_planes(planes, pix_plane)
+                    outs = run_segment(seg, planes, stats=True)
+                    planes = outs[:14]
+                    stats_out.append(np.asarray(outs[14][:, 0, :8]))
+            else:
+                def cond(c):
+                    seg, planes, _ = c
+                    return (seg < cfg.max_bounces) & (jnp.max(planes[13]) > 0)
 
-            _, planes, pix_plane = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), planes, pix_plane)
-            )
+                def body(c):
+                    seg, planes, pix_plane = c
+                    do_sort = jnp.zeros((), jnp.bool_)
+                    for s in _sort_segments_for(num_clusters, cfg.max_bounces):
+                        do_sort = do_sort | (seg == s)
+                    planes, pix_plane = jax.lax.cond(
+                        do_sort,
+                        lambda p, q: sort_planes(p, q),
+                        lambda p, q: (p, q),
+                        planes, pix_plane,
+                    )
+                    planes = run_segment(seg, planes)
+                    return seg + 1, planes, pix_plane
+
+                _, planes, pix_plane = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), planes, pix_plane)
+                )
             # fall-through: surviving paths keep bare throughput
             # (raytrace.comp.glsl:270)
             alive_f = planes[13].reshape(n) != 0
@@ -437,5 +573,9 @@ def path_trace_wavefront(
     g_img = (acc_g * norm)[:n_pix].reshape(h, w)
     b_img = (acc_b * norm)[:n_pix].reshape(h, w)
     if planar:
-        return r_img, g_img, b_img
-    return jnp.stack([r_img, g_img, b_img], axis=-1)
+        out = (r_img, g_img, b_img)
+    else:
+        out = jnp.stack([r_img, g_img, b_img], axis=-1)
+    if collect_stats:
+        return out, stats_out
+    return out

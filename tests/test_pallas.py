@@ -429,3 +429,114 @@ def test_wavefront_spp_batches():
         )
     )
     np.testing.assert_allclose(mega, wf, rtol=1e-6, atol=1e-6)
+
+
+def test_wavefront_exit_clamp_open_scene():
+    """Wavefront vs megakernel on a scene where rays MISS: the wavefront's
+    per-lane scene-exit clamp on the initial best (DESIGN_ROUND3 section 2)
+    changes which clusters get row-tested for missing rays but can never
+    change a committed hit (any hit point lies inside the scene AABB, so
+    t_hit <= t_exit with margin). The megakernel carries no clamp, so
+    agreement here pins the clamp's correctness."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
+        path_trace_wavefront,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = dataclasses.replace(CFG, width=48, height=32, max_bounces=5)
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.random_soup(600, seed=3, extent=2.0))
+    )
+    assert td.cluster_aabbs is not None
+    cam, light = Camera.default(), Light.default()
+    mega = np.asarray(
+        path_trace_pass_pallas(
+            td, cam.position, light, jnp.int32(5), cfg, interpret=True,
+            stream_tables=True,
+        )
+    )
+    wf = np.asarray(
+        path_trace_wavefront(
+            td, cam.position, light, jnp.int32(5), cfg, interpret=True
+        )
+    )
+    np.testing.assert_allclose(mega, wf, rtol=0, atol=1e-6)
+
+
+def test_wavefront_collect_stats_is_invariant():
+    """The collect_stats probe path (python segment loop + counters) must
+    return the production radiance bit-for-bit, and its counters must
+    satisfy the traversal invariants (run + skipped == visited)."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
+        path_trace_wavefront,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = dataclasses.replace(CFG, width=48, height=32, max_bounces=4)
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(6))
+    )
+    cam, light = Camera.default(), Light.default()
+    prod = np.asarray(
+        path_trace_wavefront(
+            td, cam.position, light, jnp.int32(2), cfg, interpret=True
+        )
+    )
+    probed, stats = path_trace_wavefront(
+        td, cam.position, light, jnp.int32(2), cfg, interpret=True,
+        collect_stats=True,
+    )
+    np.testing.assert_array_equal(prod, np.asarray(probed))
+    assert 0 < len(stats) <= cfg.max_bounces
+    for s in stats:
+        tot = s.astype(np.int64).sum(0)
+        assert tot[0] > 0  # someone visited something
+        assert tot[2] + tot[6] == tot[0]  # run + skipped == visited
+        assert tot[3] <= tot[2] * 8 * 512  # occupancy bounded by lanes
+
+
+def test_wavefront_sort_modes_equal():
+    """Every coherence-key layout must produce bit-identical radiance: the
+    sort only permutes rays and the final descramble sort restores pixel
+    order (wavefront.py SORT_MODES)."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
+        SORT_MODES,
+        path_trace_wavefront,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = dataclasses.replace(CFG, width=48, height=32, max_bounces=4)
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(6))
+    )
+    cam, light = Camera.default(), Light.default()
+    ref = None
+    for mode in SORT_MODES:
+        out = np.asarray(
+            path_trace_wavefront(
+                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
+                sort_mode=mode,
+            )
+        )
+        if ref is None:
+            ref = out
+        else:
+            np.testing.assert_array_equal(ref, out)
