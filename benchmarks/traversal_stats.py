@@ -27,6 +27,7 @@ def main():
     p.add_argument("--segments", type=int, default=32)
     p.add_argument("--interpret", action="store_true")
     p.add_argument("--sort-mode", default="cell_oct")
+    p.add_argument("--tile-w", type=int, default=None)
     p.add_argument(
         "--time", action="store_true",
         help="also time the production (non-stats) trace",
@@ -53,7 +54,7 @@ def main():
         int(td.pair_table.shape[0])
     )
     k_rows = csize // pt_mod.NSUB
-    lanes = wf_mod._LANES
+    lanes = wf_mod._LANES if args.tile_w is None else 8 * args.tile_w
     print(
         f"# tris={scene.num_triangles} pairs={int(td.pair_table.shape[0])} "
         f"csize={csize} clusters={num_clusters} ssize={ssize} "
@@ -65,7 +66,7 @@ def main():
     _, stats = wf_mod.path_trace_wavefront(
         td, cam.position, light, 1, cfg,
         interpret=args.interpret, collect_stats=True,
-        sort_mode=args.sort_mode,
+        sort_mode=args.sort_mode, tile_w=args.tile_w,
     )
 
     tot = np.zeros(8, np.int64)
@@ -117,7 +118,8 @@ def main():
 
         fn = jax.jit(
             lambda f: wf_mod.path_trace_wavefront(
-                td, cam.position, light, f, cfg, sort_mode=args.sort_mode
+                td, cam.position, light, f, cfg, sort_mode=args.sort_mode,
+                tile_w=args.tile_w,
             )[..., 0]
         )
         out = fn(1)

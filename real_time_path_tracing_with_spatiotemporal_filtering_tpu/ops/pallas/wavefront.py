@@ -316,7 +316,7 @@ def _sort_segments_for(num_clusters: int, max_bounces: int):
 def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
-    collect_stats=False, sort_mode="cell_oct",
+    collect_stats=False, sort_mode="cell_oct", tile_w=None,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
@@ -372,8 +372,17 @@ def path_trace_wavefront(
     lo, inv_size, inv_diam, hi = _scene_bounds(cluster_aabbs)
 
     n_pix = h * w
-    n = -(-n_pix // _LANES) * _LANES
-    n_rows = n // TILE_W
+    # Rays per kernel program: (TILE_H, tw). The vector unit's register is
+    # (8, 128); at tw=512 every whole-tile traversal op costs 4 vregs. A
+    # narrower tile never increases total row-phase vector work (the four
+    # quarter-tiles' visited sets union to at most 4x the big tile's set,
+    # each at 1/4 the vector cost) and at the measured ~1% run-cluster
+    # occupancy cuts most of it, for more per-tile scalar/DMA overhead.
+    tw = TILE_W if tile_w is None else int(tile_w)
+    assert tw % 128 == 0 and tw > 0, "tile width must be a multiple of 128"
+    lanes = TILE_H * tw
+    n = -(-n_pix // lanes) * lanes
+    n_rows = n // tw
 
     # --- ray generation (XLA; same PCG stream as the megakernel) ---
     pix = jnp.arange(n, dtype=jnp.int32)
@@ -403,9 +412,9 @@ def path_trace_wavefront(
 
     grid = (n_rows // TILE_H,)
     n_tiles = n_rows // TILE_H
-    plane_shape = (n_rows, TILE_W)
+    plane_shape = (n_rows, tw)
     f32 = jnp.float32
-    plane_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i: (i, 0))
+    plane_spec = pl.BlockSpec((TILE_H, tw), lambda i: (i, 0))
 
     def run_segment(seg, planes, stats=False):
         kernel = functools.partial(

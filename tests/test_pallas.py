@@ -540,3 +540,38 @@ def test_wavefront_sort_modes_equal():
             ref = out
         else:
             np.testing.assert_array_equal(ref, out)
+
+
+def test_wavefront_tile_width_equal():
+    """Narrower kernel tiles only re-partition the sorted ray array; the
+    committed hits and the descramble are tile-size-independent, so
+    radiance must be bit-identical (wavefront.py path_trace_wavefront
+    tile_w)."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
+        path_trace_wavefront,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = dataclasses.replace(CFG, width=48, height=32, max_bounces=4)
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(6))
+    )
+    cam, light = Camera.default(), Light.default()
+    ref = None
+    for tw in (None, 128, 256):
+        out = np.asarray(
+            path_trace_wavefront(
+                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
+                tile_w=tw,
+            )
+        )
+        if ref is None:
+            ref = out
+        else:
+            np.testing.assert_array_equal(ref, out)
