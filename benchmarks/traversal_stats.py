@@ -26,8 +26,9 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--segments", type=int, default=32)
     p.add_argument("--interpret", action="store_true")
-    p.add_argument("--sort-mode", default="cell_oct")
+    p.add_argument("--sort-mode", default=None, help="default: production default")
     p.add_argument("--tile-w", type=int, default=None)
+    p.add_argument("--csize", type=int, default=None)
     p.add_argument(
         "--time", action="store_true",
         help="also time the production (non-stats) trace",
@@ -46,6 +47,9 @@ def main():
     cfg = ptsf.RenderConfig(
         width=args.width, height=args.height, max_bounces=args.segments
     )
+    pt_mod.set_cluster_size_override(args.csize)
+    if args.sort_mode is None:
+        args.sort_mode = wf_mod.DEFAULT_SORT_MODE
     splits = max(1, int(round((args.tris / 32) ** 0.5)))
     verts, idx = procedural.subdivided_cornell(splits)
     scene = ptsf.Scene.from_arrays(verts, idx)

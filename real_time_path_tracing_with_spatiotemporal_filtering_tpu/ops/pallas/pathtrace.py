@@ -276,7 +276,7 @@ def hierarchy_sizes(
     cs = cluster_size_for(num_pairs)
     c = -(-num_pairs // cs)
     if c >= SUPER_MIN_CLUSTERS:
-        ss = cluster_size_for(c)
+        ss = cluster_size_for(c, allow_override=False)
         s = -(-c // ss)
         return cs, s * ss, ss, s  # cluster count padded to the super grid
     return cs, c, 0, 0
@@ -333,11 +333,27 @@ def build_hierarchy(tri_data, pair_order):
     return caabb, saabb.astype(np.float32), sub
 
 
-def cluster_size_for(num_pairs: int) -> int:
+_CSIZE_OVERRIDE = None  # benchmarks-only knob, see set_cluster_size_override
+
+
+def set_cluster_size_override(csize):
+    """Force the pairs-per-cluster granularity (None restores the policy).
+
+    Benchmark/probe knob: hierarchy_sizes must agree between scene pack
+    time and kernel wiring, so set it BEFORE precompute_triangle_data and
+    keep it until the traced arrays are dropped."""
+    global _CSIZE_OVERRIDE
+    assert csize is None or (csize & (csize - 1) == 0 and 8 <= csize <= 64)
+    _CSIZE_OVERRIDE = csize
+
+
+def cluster_size_for(num_pairs: int, allow_override: bool = True) -> int:
     """Pairs per cluster: ~2*sqrt(P) rounded to a power of two, clamped to
     [8, 64]. Empirically (subdivided Cornell, 272 pairs at 1080p): 32 beat
     8/16/64; the per-cluster skip check has fixed cost, so granularity
     should grow with scene size."""
+    if _CSIZE_OVERRIDE is not None and allow_override:
+        return min(_CSIZE_OVERRIDE, 64)
     target = 2.0 * (num_pairs ** 0.5)
     cs = 8
     while cs * 2 <= target and cs < 64:

@@ -110,9 +110,17 @@ def _dir_bin(dx, dy, dz):
 # octant minor. Its flaw, measured: a 4096-ray tile spans ~65
 # consecutive key buckets, i.e. ALL 8 octants of ~8 cells -- tiles get
 # tight origins but near-isotropic directions, and post-bounce tiles
-# visit ~94% of all clusters (32k probe). The alternatives trade origin
-# resolution for direction resolution within the ~507-tile budget.
+# visit ~94% of all clusters (32k probe). Hardware A/B at 1080p 1spp,
+# trace ms/frame (32k tris / 248k tris):
+#   cell_oct 3101 / 11001   oct_cell 2334 / 8168   (1.33-1.35x)
+#   dir_cell 3352 / -       mix 2505 / -
+# "oct_cell" (direction octant major, then full origin Morton) wins at
+# both scales and is the default: one octant per tile recovers culling
+# (visited/tile drops ~6x at 32k) and is worth far more than the 8x
+# origin-cell spread it costs. Fine direction bins (dir_cell's 96
+# cones) overshoot -- origins scatter and culling collapses again.
 SORT_MODES = ("cell_oct", "oct_cell", "dir_cell", "mix")
+DEFAULT_SORT_MODE = "oct_cell"
 
 
 def _sort_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_size, mode="cell_oct"):
@@ -316,7 +324,7 @@ def _sort_segments_for(num_clusters: int, max_bounces: int):
 def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
-    collect_stats=False, sort_mode="cell_oct", tile_w=None,
+    collect_stats=False, sort_mode=DEFAULT_SORT_MODE, tile_w=None,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
