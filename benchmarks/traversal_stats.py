@@ -33,6 +33,11 @@ def main():
         "--time", action="store_true",
         help="also time the production (non-stats) trace",
     )
+    p.add_argument(
+        "--soup", action="store_true",
+        help="random volumetric soup instead of subdivided Cornell "
+        "(worst-case traversal: geometry fills the volume)",
+    )
     args = p.parse_args()
 
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
@@ -50,8 +55,11 @@ def main():
     pt_mod.set_cluster_size_override(args.csize)
     if args.sort_mode is None:
         args.sort_mode = wf_mod.DEFAULT_SORT_MODE
-    splits = max(1, int(round((args.tris / 32) ** 0.5)))
-    verts, idx = procedural.subdivided_cornell(splits)
+    if args.soup:
+        verts, idx = procedural.random_soup(args.tris, seed=3, extent=2.0)
+    else:
+        splits = max(1, int(round((args.tris / 32) ** 0.5)))
+        verts, idx = procedural.subdivided_cornell(splits)
     scene = ptsf.Scene.from_arrays(verts, idx)
     td = ptsf.precompute_triangle_data(scene)
     csize, num_clusters, ssize, num_supers = pt_mod.hierarchy_sizes(

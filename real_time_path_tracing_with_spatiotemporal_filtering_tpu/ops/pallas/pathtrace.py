@@ -708,7 +708,7 @@ def _pair_test(pair_ref, t, ox, oy, oz, dx, dy, dz, state, cfg):
 # tested first and far clusters can skip their pair loops once every live
 # lane's committed hit is closer (the TPU stand-in for front-to-back BVH
 # traversal order, raytrace.comp.glsl:216's tMax pruning).
-NBINS = 16
+NBINS = 64
 
 # Sub-blocks per streamed cluster: each cluster's HBM block carries an
 # NSUB-row header (sub-AABB sb in row sb, cols 0:6) ahead of its csize

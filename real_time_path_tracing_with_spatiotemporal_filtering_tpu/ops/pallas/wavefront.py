@@ -79,6 +79,18 @@ def _spread4(x):
     )
 
 
+def _spread6(x):
+    """Spread the low 6 bits of x to every 3rd bit (Morton interleave)."""
+    return (
+        (x & 1)
+        | ((x & 2) << 2)
+        | ((x & 4) << 4)
+        | ((x & 8) << 6)
+        | ((x & 16) << 8)
+        | ((x & 32) << 10)
+    )
+
+
 def _dir_bin(dx, dy, dz):
     """7-bit cube-map direction bin: dominant-axis face (0..5) x 4x4
     quantized face coordinates -> 96 direction cones of ~1/96 of the
@@ -119,7 +131,7 @@ def _dir_bin(dx, dy, dz):
 # (visited/tile drops ~6x at 32k) and is worth far more than the 8x
 # origin-cell spread it costs. Fine direction bins (dir_cell's 96
 # cones) overshoot -- origins scatter and culling collapses again.
-SORT_MODES = ("cell_oct", "oct_cell", "dir_cell", "mix")
+SORT_MODES = ("cell_oct", "oct_cell", "oct_fine", "dir_cell", "mix")
 DEFAULT_SORT_MODE = "oct_cell"
 
 
@@ -150,6 +162,27 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_size, mode="cell_oct"):
             + (dz > 0.0).astype(jnp.int32)
         )
         key = (oct3 << 12) | m
+    elif mode == "oct_fine":
+        # oct_cell with 6 origin bits/axis (64^3 cells vs 16^3): a 4096-ray
+        # tile spans ~67 consecutive key buckets, so finer cells directly
+        # tighten the tile's origin bounding box
+        def cell6(o, axis):
+            q = ((o - lo[axis]) * inv_size[axis] * jnp.float32(64.0)).astype(
+                jnp.int32
+            )
+            return jnp.clip(q, 0, 63)
+
+        m18 = (
+            _spread6(cell6(ox, 0))
+            | (_spread6(cell6(oy, 1)) << 1)
+            | (_spread6(cell6(oz, 2)) << 2)
+        )
+        oct3 = (
+            (dx > 0.0).astype(jnp.int32) * 4
+            + (dy > 0.0).astype(jnp.int32) * 2
+            + (dz > 0.0).astype(jnp.int32)
+        )
+        key = (oct3 << 18) | m18
     elif mode == "dir_cell":
         key = (_dir_bin(dx, dy, dz) << 12) | m
     elif mode == "mix":
