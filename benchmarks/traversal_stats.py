@@ -103,11 +103,13 @@ def main():
         )
     runs = max(int(tot[2]), 1)
     sbs = max(int(tot[4]), 1)
+    ngroups = max(lanes // 8 // 128, 1)
     print(
         f"TOTAL visited={tot[0]} run={tot[2]} skipped={tot[6]} "
         f"supers={tot[1]} rows={tot[4]*k_rows} "
         f"occ%={100.0*tot[3]/(runs*lanes):.1f} "
-        f"sb_occ%={100.0*tot[5]/(sbs*lanes):.1f}"
+        f"sb_occ%={100.0*tot[5]/(sbs*lanes):.1f} "
+        f"grp%={100.0*tot[7]/(sbs*ngroups):.1f}"
     )
     # first-order time model (v5e): ~85 ns per whole-tile slab test, ~130
     # ns per table row, ~85 ns per sub-block header test

@@ -962,12 +962,24 @@ def _ordered_stream_loop(
                 near_sb = alive & ok_sb & (tmin_sb < s2[0])
                 run_sb = jnp.any(near_sb)
                 if counters is not None:
+                    # [7]: 128-lane vreg groups with >=1 needy lane, summed
+                    # over run sub-blocks -- tot[7] / (tot[4] * ngroups) is
+                    # the row-phase vector work a lane-group-granular row
+                    # loop would keep (DESIGN_ROUND3 section 1, occupancy)
+                    ngroups = near_sb.shape[1] // 128
+                    gq = jnp.int32(0)
+                    for q in range(ngroups):
+                        gq = gq + jnp.any(
+                            near_sb[:, q * 128:(q + 1) * 128]
+                        ).astype(jnp.int32)
+
                     @pl.when(run_sb)
                     def _():
                         counters[4] = counters[4] + 1
                         counters[5] = counters[5] + jnp.sum(
                             near_sb.astype(jnp.int32)
                         )
+                        counters[7] = counters[7] + gq
 
                 def rows(s3):
                     def body(j, s4):
