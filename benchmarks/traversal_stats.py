@@ -65,7 +65,7 @@ def main():
     csize, num_clusters, ssize, num_supers = pt_mod.hierarchy_sizes(
         int(td.pair_table.shape[0])
     )
-    k_rows = csize // pt_mod.NSUB
+    k_rows = csize // pt_mod.nsub_for(csize) if csize else 0
     lanes = wf_mod._LANES if args.tile_w is None else 8 * args.tile_w
     print(
         f"# tris={scene.num_triangles} pairs={int(td.pair_table.shape[0])} "
@@ -117,7 +117,7 @@ def main():
     slab_tests = tot[0] + tot[1] * 0  # visited appends imply a slab test each
     phase_a = (tot[1] * ssize if num_supers else 0) * 85 * ms
     rows_t = tot[4] * k_rows * 130 * ms
-    hdrs_t = tot[2] * pt_mod.NSUB * 85 * ms
+    hdrs_t = tot[2] * pt_mod.nsub_for(csize) * 85 * ms
     slot_t = tot[0] * 200 * ms
     print(
         f"# model: phaseA~{phase_a:.0f}ms rows~{rows_t:.0f}ms "

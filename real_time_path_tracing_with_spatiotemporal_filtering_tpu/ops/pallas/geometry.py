@@ -288,15 +288,15 @@ def pack_geometry_clusters(tri_data):
 
     Returns (static_table (Tpad, 31) f32, perm (T,) int32 Morton order,
     cluster_aabbs (C, 6), super_aabbs (S, 6) | None,
-    sub_aabbs (C*NSUB, 6)), or None when the scene is below
+    sub_aabbs (C*nsub_for(csize), 6)), or None when the scene is below
     GEO_CLUSTER_MIN_TRIS. Pad rows are zero (their plane test yields nan
     t, which self-rejects).
     """
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
         DEGENERATE_BOX,
-        NSUB,
         _group_aabbs,
         hierarchy_sizes,
+        nsub_for,
     )
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.lbvh import (
         morton_codes_np,
@@ -339,8 +339,9 @@ def pack_geometry_clusters(tri_data):
     lo = tris_perm.min(1)
     hi = tris_perm.max(1)
     caabb = _group_aabbs(lo, hi, csize)
-    sub = _group_aabbs(lo, hi, max(csize // NSUB, 1))
-    sub_needed = num_clusters * NSUB
+    nsub = nsub_for(csize)
+    sub = _group_aabbs(lo, hi, max(csize // nsub, 1))
+    sub_needed = num_clusters * nsub
     if sub.shape[0] < sub_needed:
         sub = np.concatenate(
             [
@@ -543,8 +544,8 @@ def geometry_pass_pallas(
         prev9 = lut_prev[1:].reshape(num_tris, 9).astype(f32)[perm]
         prev9 = jnp.pad(prev9, ((0, padded_rows - num_tris), (0, 0)))
         from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
-            NSUB,
             assemble_stream_table,
+            nsub_for,
         )
 
         # The full 128-col table is re-assembled in-graph every frame even
@@ -604,8 +605,8 @@ def geometry_pass_pallas(
                 pltpu.SMEM((num_clusters,), jnp.int32),
                 pltpu.SMEM((num_clusters,), jnp.int32),
                 pltpu.SMEM((pt_NBINS,), jnp.int32),
-                pltpu.SMEM((csize + NSUB, GEO_STREAM_COLS), f32),
-                pltpu.SMEM((csize + NSUB, GEO_STREAM_COLS), f32),
+                pltpu.SMEM((csize + nsub_for(csize), GEO_STREAM_COLS), f32),
+                pltpu.SMEM((csize + nsub_for(csize), GEO_STREAM_COLS), f32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],

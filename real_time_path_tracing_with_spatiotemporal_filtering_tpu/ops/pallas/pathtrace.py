@@ -284,9 +284,9 @@ def hierarchy_sizes(
 
 def build_hierarchy(tri_data, pair_order):
     """(cluster_aabbs, super_aabbs | None, sub_aabbs | None) for
-    Morton-ordered pairs. ``sub_aabbs`` is (C*NSUB, 6): per-cluster
-    sub-block boxes of ``csize/NSUB`` consecutive pairs, streamed as an
-    NSUB-row header before each cluster's rows so the in-kernel row loop
+    Morton-ordered pairs. ``sub_aabbs`` is (C*nsub_for(csize), 6):
+    per-cluster sub-block boxes of ``csize/nsub`` consecutive pairs,
+    streamed as an nsub-row header before the rows so the in-kernel loop
     can skip whole sub-blocks (assemble_stream_table).
 
     Rows beyond the real count are degenerate point boxes at +3e37 (see
@@ -304,8 +304,9 @@ def build_hierarchy(tri_data, pair_order):
     lo = np.minimum(tris[a].min(1), tris[b].min(1))  # (P, 3)
     hi = np.maximum(tris[a].max(1), tris[b].max(1))
     caabb = _group_aabbs(lo, hi, cs)
-    sub = _group_aabbs(lo, hi, max(cs // NSUB, 1))
-    sub_needed = c_padded * NSUB
+    nsub = nsub_for(cs)
+    sub = _group_aabbs(lo, hi, max(cs // nsub, 1))
+    sub_needed = c_padded * nsub
     if sub.shape[0] < sub_needed:
         sub = np.concatenate(
             [
@@ -343,7 +344,7 @@ def set_cluster_size_override(csize):
     time and kernel wiring, so set it BEFORE precompute_triangle_data and
     keep it until the traced arrays are dropped."""
     global _CSIZE_OVERRIDE
-    assert csize is None or (csize & (csize - 1) == 0 and 8 <= csize <= 64)
+    assert csize is None or (csize & (csize - 1) == 0 and 8 <= csize <= 128)
     _CSIZE_OVERRIDE = csize
 
 
@@ -353,7 +354,7 @@ def cluster_size_for(num_pairs: int, allow_override: bool = True) -> int:
     8/16/64; the per-cluster skip check has fixed cost, so granularity
     should grow with scene size."""
     if _CSIZE_OVERRIDE is not None and allow_override:
-        return min(_CSIZE_OVERRIDE, 64)
+        return min(_CSIZE_OVERRIDE, 128)
     target = 2.0 * (num_pairs ** 0.5)
     cs = 8
     while cs * 2 <= target and cs < 64:
@@ -711,40 +712,54 @@ def _pair_test(pair_ref, t, ox, oy, oz, dx, dy, dz, state, cfg):
 NBINS = 64
 
 # Sub-blocks per streamed cluster: each cluster's HBM block carries an
-# NSUB-row header (sub-AABB sb in row sb, cols 0:6) ahead of its csize
-# table rows, so the row loop tests csize/NSUB-row sub-blocks against the
-# per-lane best before running them. 98.6% of wavefront time was the row
-# loop (v5e probe, 32k tris) -- this is the knife that cuts it.
-NSUB = 8
+# nsub-row header (sub-AABB sb in row sb, cols 0:6) ahead of its csize
+# table rows; the row phase tests csize/nsub-row sub-blocks against the
+# per-lane best, compacts the passing ids, and runs only those rows.
+# Measured ladder at 32k tris (v5e, oct_cell, cond-free compacted walk):
+# nsub 8 = 2116 ms, 16 = 1973, 32 = 1834, 64 = 1729 -- per-ROW headers
+# win because a header is ~6 scalar reads + 15 vec-ops while a table row
+# is ~26 scalar reads + ~50 vec-ops with 7 predicated updates. (With the
+# old per-sub-block lax.cond gate the ladder INVERTED: 16 cost 2523 vs
+# 2334 at 8 -- each in-loop cond costs ~135 ns, the compaction is what
+# makes fine granularity affordable.)
+NSUB = 64
+
+
+def nsub_for(csize: int) -> int:
+    """Sub-blocks for a cluster of ``csize`` rows: per-row headers up to
+    NSUB. csize is a power of two >= 8, so the DMA block (csize + nsub
+    rows) stays a multiple of 8 (Mosaic row-slice alignment)."""
+    return min(NSUB, csize)
 
 
 def assemble_stream_table(table_cols, sub_aabbs, num_clusters, csize):
-    """Interleave the NSUB-row sub-AABB header before each cluster's rows.
+    """Interleave the nsub-row sub-AABB header before each cluster's rows.
 
     ``table_cols``: (num_clusters*csize, COLS) column-padded table.
-    ``sub_aabbs``: (num_clusters*NSUB, 6) from build_hierarchy /
+    ``sub_aabbs``: (num_clusters*nsub_for(csize), 6) from build_hierarchy /
     pack_geometry_clusters, or None for conservative always-test headers
     (a [-3e37, 3e37] universe box per sub-block = pre-header behavior).
-    Returns (num_clusters*(csize+NSUB), COLS)."""
+    Returns (num_clusters*(csize+nsub), COLS)."""
     cols = int(table_cols.shape[1])
+    nsub = nsub_for(csize)
     if sub_aabbs is None:
         hdr6 = jnp.tile(
             jnp.array([[-3e37] * 3 + [3e37] * 3], jnp.float32),
-            (num_clusters * NSUB, 1),
+            (num_clusters * nsub, 1),
         )
     else:
         hdr6 = jnp.asarray(sub_aabbs, jnp.float32)
     hdr = jnp.concatenate(
-        [hdr6, jnp.zeros((num_clusters * NSUB, cols - 6), jnp.float32)],
+        [hdr6, jnp.zeros((num_clusters * nsub, cols - 6), jnp.float32)],
         axis=1,
     )
     return jnp.concatenate(
         [
-            hdr.reshape(num_clusters, NSUB, cols),
+            hdr.reshape(num_clusters, nsub, cols),
             table_cols.reshape(num_clusters, csize, cols),
         ],
         axis=1,
-    ).reshape(num_clusters * (csize + NSUB), cols)
+    ).reshape(num_clusters * (csize + nsub), cols)
 
 
 def _slab_test(aabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz):
@@ -794,11 +809,13 @@ def _ordered_stream_loop(
          *current* per-lane best before running its row loop: once a bin's
          lower-bound distance exceeds every live lane's committed hit, the
          remaining clusters' row loops are skipped (their DMAs still run:
-         starts and waits must stay balanced).
+         starts and waits must stay balanced). Within a run cluster the
+         passing sub-block ids are compacted into cnt_ref (free after B)
+         and their rows run in one dynamic-trip loop, cond-free.
 
     ``table_ref`` must be laid out by :func:`assemble_stream_table`: each
-    cluster's block is an NSUB-row sub-AABB header followed by its csize
-    table rows (the DMA buffers are (csize+NSUB, COLS)).
+    cluster's block is an nsub_for(csize)-row sub-AABB header followed by
+    its csize table rows (the DMA buffers are (csize+nsub, COLS)).
     ``row_fn(buf_ref, r, state) -> state`` consumes one table row from the
     active SMEM buffer; ``state[0]`` must be the per-lane best hit t.
     ``counters`` (optional (8,) int32 SMEM ref, pre-zeroed) collects
@@ -904,8 +921,9 @@ def _ordered_stream_loop(
     jax.lax.fori_loop(0, total_v, scatter, 0)
 
     # --- phase C: pipelined DMA walk, near bins first ---
-    block = csize + NSUB  # NSUB-row sub-AABB header + csize table rows
-    k_rows = csize // NSUB  # rows per sub-block
+    nsub = nsub_for(csize)
+    block = csize + nsub  # nsub-row sub-AABB header + csize table rows
+    k_rows = csize // nsub  # rows per sub-block
     cmask = jnp.int32(0xFFFF)
 
     def dma(k, buf, sem):
@@ -933,11 +951,18 @@ def _ordered_stream_loop(
         near = alive & ok & (tmin < best)
 
         def run(s):
-            # walk NSUB sub-blocks, skipping any whose header box cannot
-            # beat the current per-lane best (same strict-< argument as
-            # the cluster level: a skipped sub-block's hits satisfy
-            # t >= tmin_sb >= best, so they could never commit)
-            def sub_body(sb, s2):
+            # Header-test all nsub sub-blocks up front against the
+            # cluster-ENTRY best, appending passing ids to cnt_ref (free
+            # once phase B's scatter consumed it; NBINS >= nsub), then run
+            # their rows in ONE dynamic-trip loop with no per-sub-block
+            # lax.cond: the NSUB-16 A/B measured ~135 ns per in-loop gate,
+            # more than the rows a finer gate saves. Sub-blocks an
+            # evolving best would have pruned still satisfy
+            # t >= tmin_sb >= best, so the strict < in _pair_test never
+            # commits them -- output bit-identical, only spare rows.
+            best0 = s[0]
+            n_pass = jnp.int32(0)
+            for sb in range(nsub):
                 lox, loy, loz = buf[sb, 0], buf[sb, 1], buf[sb, 2]
                 hix, hiy, hiz = buf[sb, 3], buf[sb, 4], buf[sb, 5]
                 tx0 = (lox - ox) * inv_dx
@@ -959,7 +984,7 @@ def _ordered_stream_loop(
                     jnp.maximum(tz0, tz1),
                 )
                 ok_sb = tmax_sb >= jnp.maximum(tmin_sb, 0.0)
-                near_sb = alive & ok_sb & (tmin_sb < s2[0])
+                near_sb = alive & ok_sb & (tmin_sb < best0)
                 run_sb = jnp.any(near_sb)
                 if counters is not None:
                     # [7]: 128-lane vreg groups with >=1 needy lane, summed
@@ -981,15 +1006,21 @@ def _ordered_stream_loop(
                         )
                         counters[7] = counters[7] + gq
 
-                def rows(s3):
-                    def body(j, s4):
-                        return row_fn(buf, NSUB + sb * k_rows + j, s4)
+                @pl.when(run_sb)
+                def _():
+                    cnt_ref[n_pass] = sb
 
-                    return jax.lax.fori_loop(0, k_rows, body, s3)
+                n_pass = n_pass + run_sb.astype(jnp.int32)
 
-                return jax.lax.cond(run_sb, rows, lambda s3: s3, s2)
+            def sub_run(i, s2):
+                sb_i = cnt_ref[i]
 
-            return jax.lax.fori_loop(0, NSUB, sub_body, s)
+                def body(j, s3):
+                    return row_fn(buf, nsub + sb_i * k_rows + j, s3)
+
+                return jax.lax.fori_loop(0, k_rows, body, s2)
+
+            return jax.lax.fori_loop(0, n_pass, sub_run, s)
 
         run_c = jnp.any(near) & (lb <= max_best)
         if counters is not None:
@@ -1582,8 +1613,8 @@ def path_trace_pass_pallas(
             pltpu.SMEM((num_clusters,), jnp.int32),   # bins
             pltpu.SMEM((num_clusters,), jnp.int32),   # sorted visited ids
             pltpu.SMEM((NBINS,), jnp.int32),          # bin counts/offsets
-            pltpu.SMEM((csize + NSUB, 128), jnp.float32),  # DMA buffer 0
-            pltpu.SMEM((csize + NSUB, 128), jnp.float32),  # DMA buffer 1
+            pltpu.SMEM((csize + nsub_for(csize), 128), jnp.float32),
+            pltpu.SMEM((csize + nsub_for(csize), 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]

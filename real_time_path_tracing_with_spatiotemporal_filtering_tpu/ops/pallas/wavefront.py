@@ -41,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
     NBINS,
-    NSUB,
     PAIR_COLS,
     TILE_H,
     TILE_W,
@@ -50,6 +49,7 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtra
     _shade_segment,
     assemble_stream_table,
     hierarchy_sizes,
+    nsub_for,
     scene_bounds_from_clusters,
 )
 
@@ -475,8 +475,8 @@ def path_trace_wavefront(
             pltpu.SMEM((num_clusters,), jnp.int32),
             pltpu.SMEM((num_clusters,), jnp.int32),
             pltpu.SMEM((NBINS,), jnp.int32),
-            pltpu.SMEM((csize + NSUB, 128), f32),
-            pltpu.SMEM((csize + NSUB, 128), f32),
+            pltpu.SMEM((csize + nsub_for(csize), 128), f32),
+            pltpu.SMEM((csize + nsub_for(csize), 128), f32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]

@@ -148,7 +148,7 @@ class TriangleData:
     cluster_aabbs: jnp.ndarray | None = None
     # (S, 6) supercluster AABBs (second cull level for larger scenes).
     super_aabbs: jnp.ndarray | None = None
-    # (C*NSUB, 6) per-cluster sub-block AABBs, streamed as block headers so
+    # (C*nsub_for(csize), 6) per-cluster sub-block AABBs, streamed as block headers so
     # the kernels can skip whole sub-blocks of the row loop
     # (pathtrace.assemble_stream_table).
     sub_aabbs: jnp.ndarray | None = None
