@@ -38,7 +38,13 @@ def ground_truth(tri_data, camera, light, cfg, total_spp: int):
     return (acc / total_spp).astype(np.float32)
 
 
-def run(size: int, spp: int, frames: int, variance_guided: bool = False):
+def run(
+    size: int,
+    spp: int,
+    frames: int,
+    variance_guided: bool = False,
+    rr_start_bounce: int = 0,
+):
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
         Camera,
@@ -50,13 +56,20 @@ def run(size: int, spp: int, frames: int, variance_guided: bool = False):
     )
 
     cfg = ptsf.RenderConfig(
-        width=size, height=size, variance_guided=variance_guided
+        width=size, height=size, variance_guided=variance_guided,
+        rr_start_bounce=rr_start_bounce,
     )
     scene = ptsf.Scene.cornell_box()
     td = precompute_triangle_data(scene)
     cam, light = Camera.default(), Light.default()
 
-    truth = ground_truth(td, cam, light, cfg, spp)
+    # Ground truth is always RR-free (RR is unbiased, so the truth is the
+    # same; keeping it exact avoids paying RR's variance twice).
+    import dataclasses
+
+    truth = ground_truth(
+        td, cam, light, dataclasses.replace(cfg, rr_start_bounce=0), spp
+    )
 
     r = ptsf.Renderer(scene, cfg, camera=cam, light=light)
     out = None
@@ -91,13 +104,23 @@ def main():
         "--skip-variance", action="store_true",
         help="only measure reference-parity filtering",
     )
+    parser.add_argument(
+        "--rr-start-bounce", type=int, default=0,
+        help="also measure with Russian roulette from this bounce "
+        "(variance-guided mode only; quantifies RR's noise cost)",
+    )
     args = parser.parse_args()
-    for variance_guided in ([False] if args.skip_variance else [False, True]):
-        stats = run(args.size, args.spp, args.frames, variance_guided)
+    modes = [(False, 0)] if args.skip_variance else [(False, 0), (True, 0)]
+    if args.rr_start_bounce:
+        modes.append((True, args.rr_start_bounce))
+    for variance_guided, rr in modes:
+        stats = run(args.size, args.spp, args.frames, variance_guided, rr)
         improvement = stats["rmse_noisy_1spp"] / max(
             stats["rmse_denoised"], 1e-12
         )
         mode = "variance-guided SVGF" if variance_guided else "reference parity"
+        if rr:
+            mode += f" + RR@{rr}"
         print(
             json.dumps(
                 {

@@ -32,6 +32,10 @@ def main() -> None:
                              "weights (extension; off = reference parity)")
     parser.add_argument("--adaptive-alpha", action="store_true",
                         help="enable gradient-driven adaptive EMA alpha")
+    parser.add_argument("--rr-start-bounce", type=int, default=0,
+                        help="Russian roulette from this bounce on "
+                        "(0 = off/reference parity; unbiased early "
+                        "termination, big win on enclosed scenes)")
     parser.add_argument("--no-light-quirk", action="store_true",
                         help="make the sphere light respect occluders")
     parser.add_argument("--out", default=None, help="output dir for PNG frames")
@@ -69,6 +73,7 @@ def main() -> None:
         adaptive_alpha=args.adaptive_alpha,
         variance_guided=args.variance_guided,
         light_through_walls=not args.no_light_quirk,
+        rr_start_bounce=args.rr_start_bounce,
     )
     if args.scene:
         scene = ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))

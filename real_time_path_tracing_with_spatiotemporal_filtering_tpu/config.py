@@ -42,6 +42,21 @@ class RenderConfig:
     ray_offset_eps: float = 1e-4     # bounce origin offset (raytrace:250)
     t_max: float = 10000.0           # ray query max t (raytrace:216)
 
+    # --- Russian-roulette termination (non-parity extension) ---
+    # 0 = off (reference parity: every path traces all max_bounces segments,
+    # raytrace.comp.glsl:204). k >= 1: from bounce segment k on, a path that
+    # diffuse-bounces survives with probability
+    # p = clamp(max(throughput), rr_min_prob, rr_max_prob) and the survivor's
+    # throughput is divided by p -- standard unbiased Russian roulette.
+    # Expected live segments drop from max_bounces to O(1/(1-albedo)) on
+    # closed scenes (the worst case for the wavefront tracer, where no path
+    # ever escapes) at slightly higher variance per sample. RR-killed paths
+    # do NOT take the reference's loop fall-through (raytrace:270): that
+    # quirk is for paths still alive after max_bounces.
+    rr_start_bounce: int = 0
+    rr_min_prob: float = 0.05        # survival-probability clamp (floor)
+    rr_max_prob: float = 0.95        # ceiling < 1 so white paths terminate
+
     # --- light (main.cpp:70-72, raytrace.comp.glsl:279-282) ---
     light_radius: float = 0.20
     light_intensity: float = 30.0        # "to hdr" scale (raytrace:281)
@@ -112,6 +127,10 @@ class RenderConfig:
             raise ValueError("wavelet_iterations must be odd (main.cpp:55)")
         if self.spp < 1 or self.max_bounces < 1:
             raise ValueError("spp and max_bounces must be >= 1")
+        if self.rr_start_bounce < 0:
+            raise ValueError("rr_start_bounce must be >= 0 (0 = off)")
+        if not (0.0 < self.rr_min_prob <= self.rr_max_prob <= 1.0):
+            raise ValueError("need 0 < rr_min_prob <= rr_max_prob <= 1")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto, xla or pallas")
 

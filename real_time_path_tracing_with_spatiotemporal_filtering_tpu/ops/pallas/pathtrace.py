@@ -1195,6 +1195,24 @@ def _shade_segment(
     dy = jnp.where(tri_hit, ndy, dy)
     dz = jnp.where(tri_hit, ndz, dz)
     st = jnp.where(tri_hit, new_st, st)
+
+    if cfg.rr_start_bounce:
+        # --- Russian roulette (non-parity; mirrors ops/pathtrace.py
+        # op-for-op so XLA/Pallas parity holds with RR enabled) ---
+        gamble = tri_hit & (seg >= cfg.rr_start_bounce)
+        rr_st, u = _pcg(st)
+        maxc = jnp.maximum(tp_r, jnp.maximum(tp_g, tp_b))
+        p = jnp.clip(
+            maxc, jnp.float32(cfg.rr_min_prob), jnp.float32(cfg.rr_max_prob)
+        )
+        st = jnp.where(gamble, rr_st, st)
+        survive = jnp.logical_not(gamble) | (u < p)
+        boost = gamble & survive
+        tp_r = jnp.where(boost, tp_r / p, tp_r)
+        tp_g = jnp.where(boost, tp_g / p, tp_g)
+        tp_b = jnp.where(boost, tp_b / p, tp_b)
+        tri_hit = tri_hit & survive
+
     return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
             res_r, res_g, res_b, tri_hit, st)
 

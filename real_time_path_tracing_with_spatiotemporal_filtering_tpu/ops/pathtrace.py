@@ -90,6 +90,26 @@ def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, 
             sky_term[..., None], accum * shading.sky_color(d), result
         )
 
+        if cfg.rr_start_bounce:
+            # --- Russian roulette (non-parity; cfg.rr_start_bounce) ---
+            # One extra uniform per bounced lane once segment >= start;
+            # survivors' throughput is divided by p (unbiased estimator).
+            # Killed lanes keep result as-is (their paths carried no
+            # emission) and do NOT take the fall-through below.
+            gamble = tri_hit & (segment >= cfg.rr_start_bounce)
+            rr_state, u = rng_ops.pcg_step(state)
+            p = jnp.clip(
+                jnp.max(accum, axis=-1),
+                jnp.float32(cfg.rr_min_prob),
+                jnp.float32(cfg.rr_max_prob),
+            )
+            state = jnp.where(gamble, rr_state, state)
+            survive = ~gamble | (u < p)
+            accum = jnp.where(
+                (gamble & survive)[..., None], accum / p[..., None], accum
+            )
+            tri_hit = tri_hit & survive
+
         alive = tri_hit
         return o, d, accum, result, alive, state
 
