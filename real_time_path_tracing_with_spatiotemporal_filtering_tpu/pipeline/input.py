@@ -39,15 +39,17 @@ def apply_keys(
     keys = {k.lower() for k in keys}
     speed = cfg.move_speed
 
-    # Host-side numpy arithmetic only (tiny jnp ops would pay one device
-    # dispatch round trip per key per frame over the TPU tunnel).
+    # Host-side numpy arithmetic only, results STORED as numpy: keeping a
+    # device array in the pytree makes next frame's np.asarray a
+    # device->host round trip over the TPU tunnel (pipeline stall); numpy
+    # leaves ship host->device asynchronously with the frame dispatch.
     cdx = speed * (("d" in keys) - ("a" in keys))
     cdy = speed * (("e" in keys) - ("q" in keys))
     cdz = speed * (("s" in keys) - ("w" in keys))
     camera_moved = bool(cdx or cdy or cdz)
     if camera_moved:
         pos = np.asarray(camera.position) + np.array([cdx, cdy, cdz], np.float32)
-        camera = dataclasses.replace(camera, position=jnp.asarray(pos))
+        camera = dataclasses.replace(camera, position=pos)
 
     ldx = speed * (("l" in keys) - ("j" in keys))
     ldy = speed * (("o" in keys) - ("u" in keys))
@@ -60,5 +62,5 @@ def apply_keys(
             pos[0] = cfg.light_x_wrap_lo
         elif ldx < 0 and pos[0] < cfg.light_x_wrap_lo:
             pos[0] = cfg.light_x_wrap_hi
-        light = dataclasses.replace(light, position=jnp.asarray(pos))
+        light = dataclasses.replace(light, position=pos)
     return camera, light, camera_moved

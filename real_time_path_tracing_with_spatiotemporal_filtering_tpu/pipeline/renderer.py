@@ -125,13 +125,15 @@ class Renderer:
         )
 
     # --- interaction ----------------------------------------------------
-    # Host-side numpy arithmetic only: every tiny jnp op here would cost a
-    # full dispatch round trip per frame (tens of ms over the TPU tunnel).
+    # Host-side numpy arithmetic only, and the result is STORED as numpy:
+    # storing a device array here means the next frame's move does
+    # np.asarray(device_array) -- a device->host round trip over the TPU
+    # tunnel EVERY frame, which stalls the pipelined dispatch queue
+    # (measured ~10 ms/frame on the dynamic-light benchmark config). Tiny
+    # numpy leaves transfer host->device asynchronously with the dispatch.
     def move_camera(self, dx: float = 0.0, dy: float = 0.0, dz: float = 0.0):
         pos = np.asarray(self.camera.position) + np.array([dx, dy, dz], np.float32)
-        self.camera = dataclasses.replace(
-            self.camera, position=jnp.asarray(pos)
-        )
+        self.camera = dataclasses.replace(self.camera, position=pos)
 
     def move_light(self, dx: float = 0.0, dy: float = 0.0, dz: float = 0.0):
         """Light translation with the reference's x wraparound
@@ -141,4 +143,4 @@ class Renderer:
             pos[0] = self.cfg.light_x_wrap_lo
         elif pos[0] < self.cfg.light_x_wrap_lo:
             pos[0] = self.cfg.light_x_wrap_hi
-        self.light = dataclasses.replace(self.light, position=jnp.asarray(pos))
+        self.light = dataclasses.replace(self.light, position=pos)

@@ -89,7 +89,10 @@ class Camera:
         r = r / np.linalg.norm(r)
         u = np.cross(r, f)
         rot = np.stack([r, u, -f], axis=1)  # columns: right, up, back
-        return cls(position=jnp.asarray(p), rotation=jnp.asarray(rot))
+        # numpy leaves on purpose: an orbit/look-at camera is rebuilt every
+        # frame, and numpy inputs ship with the frame dispatch instead of
+        # paying an eager host->device transfer here.
+        return cls(position=p, rotation=rot)
 
     @classmethod
     def orbit(cls, center, radius, azimuth, height) -> "Camera":
