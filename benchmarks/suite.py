@@ -68,6 +68,14 @@ def run_suite(quick: bool):
     cfg2 = ptsf.RenderConfig(width=512, height=512, variance_guided=True)
     results.append(("cornell_512_full_svgf", bench_renderer(cornell(cfg2), frames)))
 
+    # 2b. (extra, non-parity) same + Russian roulette from bounce 4:
+    # unbiased early termination, the biggest throughput lever on enclosed
+    # scenes (quality cost measured at ~4% rMSE, benchmarks/quality.py)
+    cfg2rr = dataclasses.replace(cfg2, rr_start_bounce=4)
+    results.append(
+        ("cornell_512_full_svgf_rr4_nonparity", bench_renderer(cornell(cfg2rr), frames))
+    )
+
     # 3. orbiting camera, full A-SVGF with adaptive alpha, 1080p
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
         Camera,
@@ -99,6 +107,20 @@ def run_suite(quick: bool):
             f"cornell_subdiv{splits}_{32 * splits * splits}tris_1080p_orbit",
             bench_renderer(
                 lambda: ptsf.Renderer(big_scene, cfg4), big_frames, orbit4
+            ),
+        )
+    )
+
+    # 4b. (extra, non-parity) the large-scene stress with RR@4: on a
+    # closed box every parity path runs all 32 segments; RR bounds the
+    # expected path length, which is where the wavefront tracer's
+    # per-segment cost goes
+    cfg4rr = dataclasses.replace(cfg4, rr_start_bounce=4)
+    results.append(
+        (
+            f"cornell_subdiv{splits}_rr4_nonparity",
+            bench_renderer(
+                lambda: ptsf.Renderer(big_scene, cfg4rr), big_frames, orbit4
             ),
         )
     )

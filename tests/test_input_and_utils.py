@@ -126,3 +126,32 @@ def test_enable_validation_toggles():
     finally:
         enable_validation(False)
     assert not jax.config.jax_debug_nans
+
+
+def test_interaction_keeps_host_numpy_leaves():
+    """move_camera/move_light/apply_keys must store numpy positions: a
+    device-array leaf makes the NEXT mutation's np.asarray a device->host
+    round trip per frame over the TPU tunnel (pipeline stall)."""
+    import numpy as np
+
+    import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.input import (
+        apply_keys,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Camera,
+    )
+
+    cfg = ptsf.RenderConfig(width=32, height=16, max_bounces=2)
+    r = ptsf.Renderer(ptsf.Scene.cornell_box(), cfg)
+    r.move_light(dx=0.3)
+    r.move_light(dx=0.3)  # second call exercises asarray on the stored leaf
+    r.move_camera(dx=0.1)
+    assert isinstance(r.light.position, np.ndarray)
+    assert isinstance(r.camera.position, np.ndarray)
+    cam, light, moved = apply_keys(r.camera, r.light, {"w", "l"}, cfg)
+    assert moved
+    assert isinstance(cam.position, np.ndarray)
+    assert isinstance(light.position, np.ndarray)
+    assert isinstance(Camera.orbit([0, 1, 0], 6.0, 0.1, 1.0).position, np.ndarray)
+    r.step()  # numpy leaves must be accepted by the jitted frame
