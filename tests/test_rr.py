@@ -123,3 +123,18 @@ def test_rr_config_validation():
         RenderConfig(rr_min_prob=0.5, rr_max_prob=0.4)
     with pytest.raises(ValueError):
         RenderConfig(rr_min_prob=0.0)
+
+
+def test_rr_pathtrace_matches_golden(cornell_tri_data):
+    """Exact snapshot of the RR trace (48x32, rr_start_bounce=2, frame 7):
+    pins the RR draw order / probability / compensation semantics."""
+    import os
+
+    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+    cfg = dataclasses.replace(
+        CFG, width=48, height=32, max_bounces=6, wavelet_iterations=3,
+        backend="xla", rr_start_bounce=2,
+    )
+    out = _xla(cornell_tri_data, cfg, frame=7)
+    golden = np.load(os.path.join(golden_dir, "pathtrace_48x32_f7_rr2.npy"))
+    np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-6)
