@@ -38,6 +38,8 @@ def main():
     p.add_argument("--full-frame", action="store_true")
     p.add_argument("--wavefront", action="store_true")
     p.add_argument("--wavefront-only", action="store_true")
+    p.add_argument("--rr-start-bounce", type=int, default=0,
+                   help="Russian roulette from this bounce (non-parity)")
     args = p.parse_args()
 
     import jax
@@ -54,7 +56,10 @@ def main():
         procedural,
     )
 
-    cfg = ptsf.RenderConfig(width=args.width, height=args.height)
+    cfg = ptsf.RenderConfig(
+        width=args.width, height=args.height,
+        rr_start_bounce=args.rr_start_bounce,
+    )
     print(f"# device: {jax.devices()[0]}")
 
     for size_s in args.sizes.split(","):
