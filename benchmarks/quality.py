@@ -44,6 +44,7 @@ def run(
     frames: int,
     variance_guided: bool = False,
     rr_start_bounce: int = 0,
+    nee: bool = False,
 ):
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
@@ -57,14 +58,16 @@ def run(
 
     cfg = ptsf.RenderConfig(
         width=size, height=size, variance_guided=variance_guided,
-        rr_start_bounce=rr_start_bounce,
+        rr_start_bounce=rr_start_bounce, nee=nee,
     )
     scene = ptsf.Scene.cornell_box()
     td = precompute_triangle_data(scene)
     cam, light = Camera.default(), Light.default()
 
     # Ground truth is always RR-free (RR is unbiased, so the truth is the
-    # same; keeping it exact avoids paying RR's variance twice).
+    # same; keeping it exact avoids paying RR's variance twice). NEE stays
+    # on for the truth when enabled: it changes the transport semantics
+    # (no fall-through quirk, occluded light), not just the variance.
     import dataclasses
 
     truth = ground_truth(
@@ -109,18 +112,30 @@ def main():
         help="also measure with Russian roulette from this bounce "
         "(variance-guided mode only; quantifies RR's noise cost)",
     )
+    parser.add_argument(
+        "--nee", action="store_true",
+        help="also measure with next-event estimation (variance-guided)",
+    )
     args = parser.parse_args()
-    modes = [(False, 0)] if args.skip_variance else [(False, 0), (True, 0)]
+    modes = [(False, 0, False)] if args.skip_variance else [
+        (False, 0, False), (True, 0, False)
+    ]
     if args.rr_start_bounce:
-        modes.append((True, args.rr_start_bounce))
-    for variance_guided, rr in modes:
-        stats = run(args.size, args.spp, args.frames, variance_guided, rr)
+        modes.append((True, args.rr_start_bounce, False))
+    if args.nee:
+        modes.append((True, 0, True))
+    for variance_guided, rr, nee in modes:
+        stats = run(
+            args.size, args.spp, args.frames, variance_guided, rr, nee
+        )
         improvement = stats["rmse_noisy_1spp"] / max(
             stats["rmse_denoised"], 1e-12
         )
         mode = "variance-guided SVGF" if variance_guided else "reference parity"
         if rr:
             mode += f" + RR@{rr}"
+        if nee:
+            mode += " + NEE"
         print(
             json.dumps(
                 {

@@ -32,6 +32,10 @@ def main() -> None:
                              "weights (extension; off = reference parity)")
     parser.add_argument("--adaptive-alpha", action="store_true",
                         help="enable gradient-driven adaptive EMA alpha")
+    parser.add_argument("--nee", action="store_true",
+                        help="next-event estimation: explicit light "
+                        "sampling with shadow rays (non-parity; much "
+                        "lower 1-spp noise, light respects occluders)")
     parser.add_argument("--rr-start-bounce", type=int, default=0,
                         help="Russian roulette from this bounce on "
                         "(0 = off/reference parity; unbiased early "
@@ -74,6 +78,7 @@ def main() -> None:
         variance_guided=args.variance_guided,
         light_through_walls=not args.no_light_quirk,
         rr_start_bounce=args.rr_start_bounce,
+        nee=args.nee,
     )
     if args.scene:
         scene = ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))

@@ -42,6 +42,20 @@ class RenderConfig:
     ray_offset_eps: float = 1e-4     # bounce origin offset (raytrace:250)
     t_max: float = 10000.0           # ray query max t (raytrace:216)
 
+    # --- next-event estimation (non-parity extension) ---
+    # The reference finds the light only when a cosine-sampled bounce ray
+    # happens to cross the sphere (raytrace.comp.glsl:226-235) -- at 1 spp
+    # most pixels carry no direct-light information at all and the filter
+    # must conjure it from neighbors. nee=True samples the light's solid
+    # angle explicitly at every diffuse hit with a shadow ray (standard
+    # next-event estimation): direct light becomes low-variance, the sphere
+    # stops terminating paths beyond the camera segment (its hits are
+    # already accounted), the loop fall-through quirk is dropped, and --
+    # since shadow rays respect occluders -- the light no longer shines
+    # through walls. Unbiased for the same scene transport; changes which
+    # estimator computes it, so off for reference parity.
+    nee: bool = False
+
     # --- Russian-roulette termination (non-parity extension) ---
     # 0 = off (reference parity: every path traces all max_bounces segments,
     # raytrace.comp.glsl:204). k >= 1: from bounce segment k on, a path that

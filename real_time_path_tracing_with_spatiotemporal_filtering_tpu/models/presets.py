@@ -27,10 +27,13 @@ def cornell_box_realtime(**overrides) -> Renderer:
 
 def cornell_box_quality(**overrides) -> Renderer:
     """Quality-leaning: 4 spp, adaptive temporal alpha (the reference's
-    commented-out gradient-driven blend, temporalFiltering:246-248)."""
+    commented-out gradient-driven blend, temporalFiltering:246-248), plus
+    the framework's estimator/filter extensions: next-event estimation
+    (low-variance direct light, shadows respect occluders) and the
+    variance-guided SVGF weights."""
     cfg = RenderConfig(
         **{"width": 1920, "height": 1080, "spp": 4, "adaptive_alpha": True,
-           **overrides}
+           "nee": True, "variance_guided": True, **overrides}
     )
     return Renderer(Scene.cornell_box(), cfg)
 

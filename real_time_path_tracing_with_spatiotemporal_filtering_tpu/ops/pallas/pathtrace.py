@@ -525,7 +525,7 @@ def _roll_r(x, s):
     return pltpu.roll(x, s, 1)
 
 
-def _pack_stage(carry, nw):
+def _pack_stage(carry, nw, nee=False):
     """Left-pack alive lanes into the first ``nw`` columns of each row.
 
     Uses collision-free binary routing: a lane preceded by k dead lanes
@@ -538,11 +538,15 @@ def _pack_stage(carry, nw):
     w = ox.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 1)
     alive_w = alive_i != 0
-    # Preemptive fall-through (raytrace.comp.glsl:270): correct if the loop
-    # already exhausted max_bounces; otherwise overwritten by routed results.
-    res_r = jnp.where(alive_w, tp_r, res_r)
-    res_g = jnp.where(alive_w, tp_g, res_g)
-    res_b = jnp.where(alive_w, tp_b, res_b)
+    if not nee:
+        # Preemptive fall-through (raytrace.comp.glsl:270): correct if the
+        # loop already exhausted max_bounces; otherwise overwritten by
+        # routed results. With NEE the result accumulates along the path
+        # (narrow stages bank into zeroed planes that are ADDED back on
+        # unpack), so res must be left untouched here.
+        res_r = jnp.where(alive_w, tp_r, res_r)
+        res_g = jnp.where(alive_w, tp_g, res_g)
+        res_b = jnp.where(alive_w, tp_b, res_b)
 
     # per-row exclusive prefix sums -> pack distances
     incl = alive_i
@@ -582,10 +586,11 @@ def _pack_stage(carry, nw):
     return narrow_carry, info
 
 
-def _unpack_stage(nres, info):
+def _unpack_stage(nres, info, nee=False):
     """Inverse routing (bits MSB->LSB): packed results back to their
     original lanes of this stage's space, merged over the pre-pack
-    results."""
+    results (``nee``: ADDED to them -- narrow stages accumulate into
+    zeroed result planes)."""
     nres_r, nres_g, nres_b = nres
     alive_w, res_r, res_g, res_b, row_cnt, ids, lane, w = info
     nw = nres_r.shape[1]
@@ -608,6 +613,12 @@ def _unpack_stage(nres, info):
         dist = jnp.where(recv, src_dist - b, dist)
         b_active = jnp.where(vacated, 0, jnp.where(recv, 1, b_active))
         b //= 2
+    if nee:
+        return (
+            jnp.where(alive_w, res_r + r_r, res_r),
+            jnp.where(alive_w, res_g + r_g, res_g),
+            jnp.where(alive_w, res_b + r_b, res_b),
+        )
     return (
         jnp.where(alive_w, r_r, res_r),
         jnp.where(alive_w, r_g, res_g),
@@ -615,7 +626,7 @@ def _unpack_stage(nres, info):
     )
 
 
-def _run_with_compaction(cond, body, init):
+def _run_with_compaction(cond, body, init, nee=False):
     """Bounce loop with a cascade of in-register survivor compactions.
 
     The SIMD tail problem: survivors spread uniformly over the tile, so a
@@ -646,20 +657,21 @@ def _run_with_compaction(cond, body, init):
             return cond(c) & (row_max > nw)
 
         cur = jax.lax.while_loop(stage_cond, body, cur)
-        cur, info = _pack_stage(cur, nw)
+        cur, info = _pack_stage(cur, nw, nee=nee)
         infos.append(info)
 
     final = jax.lax.while_loop(cond, body, cur)
     (_, _, _, _, _, _, _,
      tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_f, _) = final
-    surv = alive_f != 0
-    res_r = jnp.where(surv, tp_r, res_r)
-    res_g = jnp.where(surv, tp_g, res_g)
-    res_b = jnp.where(surv, tp_b, res_b)
+    if not nee:
+        surv = alive_f != 0
+        res_r = jnp.where(surv, tp_r, res_r)
+        res_g = jnp.where(surv, tp_g, res_g)
+        res_b = jnp.where(surv, tp_b, res_b)
 
     res = (res_r, res_g, res_b)
     for info in reversed(infos):
-        res = _unpack_stage(res, info)
+        res = _unpack_stage(res, info, nee=nee)
     return res
 
 
@@ -1148,14 +1160,23 @@ def _shade_segment(
     t2 = (-b + sq) / (jnp.float32(2.0) * a)
     lt = jnp.where(t1 > 0.0, t1, t2)
     light_hit = (disc >= 0.0) & (lt > 0.0)
-    if not cfg.light_through_walls:
+    if not cfg.light_through_walls or cfg.nee:
+        # NEE always uses the occlusion-aware geometry: its shadow rays
+        # respect walls, so its termination must too (ops/pathtrace.py).
         light_hit = light_hit & (~hit | (lt < best_t))
 
     dim = jnp.where(seg == 0, inv_first_dim, jnp.float32(1.0))
     light_term = alive & light_hit
-    res_r = jnp.where(light_term, tp_r * hdr_r * dim, res_r)
-    res_g = jnp.where(light_term, tp_g * hdr_g * dim, res_g)
-    res_b = jnp.where(light_term, tp_b * hdr_b * dim, res_b)
+    if cfg.nee:
+        # the sphere still blocks-and-terminates, but only the camera
+        # segment adds emission (deeper crossings were banked by the
+        # previous vertex's NEE shadow ray)
+        emit = light_term & (seg == 0)
+    else:
+        emit = light_term
+    res_r = jnp.where(emit, tp_r * hdr_r * dim, res_r)
+    res_g = jnp.where(emit, tp_g * hdr_g * dim, res_g)
+    res_b = jnp.where(emit, tp_b * hdr_b * dim, res_b)
 
     # --- triangle bounce ---
     tri_hit = alive & ~light_hit & hit
@@ -1188,13 +1209,82 @@ def _shade_segment(
     # sky uses the PRE-bounce direction for terminated lanes
     sky_term = alive & ~light_hit & ~hit
     skr, skg, skb = _sky(dx, dy, dz)
-    res_r = jnp.where(sky_term, tp_r * skr, res_r)
-    res_g = jnp.where(sky_term, tp_g * skg, res_g)
-    res_b = jnp.where(sky_term, tp_b * skb, res_b)
+    if cfg.nee:
+        # res accumulates NEE banks on OTHER (tri_hit) lanes; sky lanes are
+        # disjoint, so add-form is bit-identical to the replace-form here
+        # and keeps one code shape with the XLA oracle.
+        res_r = res_r + jnp.where(sky_term, tp_r * skr, jnp.float32(0.0))
+        res_g = res_g + jnp.where(sky_term, tp_g * skg, jnp.float32(0.0))
+        res_b = res_b + jnp.where(sky_term, tp_b * skb, jnp.float32(0.0))
+    else:
+        res_r = jnp.where(sky_term, tp_r * skr, res_r)
+        res_g = jnp.where(sky_term, tp_g * skg, res_g)
+        res_b = jnp.where(sky_term, tp_b * skb, res_b)
     dx = jnp.where(tri_hit, ndx, dx)
     dy = jnp.where(tri_hit, ndy, dy)
     dz = jnp.where(tri_hit, ndz, dz)
     st = jnp.where(tri_hit, new_st, st)
+
+    nee_extras = None
+    if cfg.nee:
+        # --- next-event estimation sample (mirrors ops/pathtrace.py
+        # op-for-op; the caller runs the shadow traversal and banks
+        # tp * hdr * gain where the ray reaches the light) ---
+        tlx, tly, tlz = lx - hx, ly - hy, lz - hz
+        dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+        inv_dist = jnp.float32(1.0) / jnp.maximum(dist, jnp.float32(1e-20))
+        wcx, wcy, wcz = tlx * inv_dist, tly * inv_dist, tlz * inv_dist
+        sin_max = jnp.clip(
+            radius * inv_dist, jnp.float32(0.0), jnp.float32(1.0)
+        )
+        cos_max = jnp.sqrt(
+            jnp.maximum(jnp.float32(0.0), 1.0 - sin_max * sin_max)
+        )
+        nst, u1 = _pcg(st)
+        nst, u2 = _pcg(nst)
+        st = jnp.where(tri_hit, nst, st)
+        cos_t = jnp.float32(1.0) - u1 * (jnp.float32(1.0) - cos_max)
+        sin_t = jnp.sqrt(jnp.maximum(jnp.float32(0.0), 1.0 - cos_t * cos_t))
+        phi = _TWO_PI * u2
+        # branchless basis: a = (0,1,0) when |wc.x| > 0.9 else (1,0,0);
+        # tang = normalize(cross(a, wc)), bitang = cross(wc, tang)
+        pick = jnp.abs(wcx) > jnp.float32(0.9)
+        tx = jnp.where(pick, wcz, jnp.float32(0.0))
+        ty = jnp.where(pick, jnp.float32(0.0), -wcz)
+        tz = jnp.where(pick, -wcx, wcy)
+        tnorm = jnp.maximum(
+            jnp.sqrt(tx * tx + ty * ty + tz * tz), jnp.float32(1e-20)
+        )
+        tx, ty, tz = tx / tnorm, ty / tnorm, tz / tnorm
+        bx = wcy * tz - wcz * ty
+        by = wcz * tx - wcx * tz
+        bz = wcx * ty - wcy * tx
+        spc = sin_t * jnp.cos(phi)
+        sps = sin_t * jnp.sin(phi)
+        wlx = cos_t * wcx + spc * tx + sps * bx
+        wly = cos_t * wcy + spc * ty + sps * by
+        wlz = cos_t * wcz + spc * tz + sps * bz
+        cos_x = fnx * wlx + fny * wly + fnz * wlz
+        socx, socy, socz = hx - lx, hy - ly, hz - lz
+        a_s = wlx * wlx + wly * wly + wlz * wlz
+        sb = jnp.float32(2.0) * (socx * wlx + socy * wly + socz * wlz)
+        scc = socx * socx + socy * socy + socz * socz - radius * radius
+        sdisc = sb * sb - jnp.float32(4.0) * a_s * scc
+        ssq = jnp.sqrt(jnp.maximum(sdisc, 0.0))
+        st1 = (-sb - ssq) / (jnp.float32(2.0) * a_s)
+        st2 = (-sb + ssq) / (jnp.float32(2.0) * a_s)
+        s_t = jnp.where(st1 > 0.0, st1, st2)
+        s_hit = (sdisc >= 0.0) & (s_t > 0.0)
+        nee_mask = tri_hit & (cos_x > 0.0) & s_hit
+        omega = _TWO_PI * (jnp.float32(1.0) - cos_max)
+        gain = cos_x * omega * jnp.float32(1.0 / 3.14159265)
+        # bank amounts use THIS tp (pre-RR-boost, matching the XLA order:
+        # NEE before RR); the caller adds them where the shadow ray clears
+        nee_extras = (
+            wlx, wly, wlz, s_t,
+            tp_r * hdr_r * gain, tp_g * hdr_g * gain, tp_b * hdr_b * gain,
+            nee_mask,
+        )
 
     if cfg.rr_start_bounce:
         # --- Russian roulette (non-parity; mirrors ops/pathtrace.py
@@ -1213,8 +1303,11 @@ def _shade_segment(
         tp_b = jnp.where(boost, tp_b / p, tp_b)
         tri_hit = tri_hit & survive
 
-    return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
-            res_r, res_g, res_b, tri_hit, st)
+    out = (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+           res_r, res_g, res_b, tri_hit, st)
+    if cfg.nee:
+        return out + (nee_extras,)
+    return out
 
 
 def _sky(dx, dy, dz):
@@ -1364,14 +1457,62 @@ def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, caabb_ref, saa
                         )
                     )
 
-                (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
-                 res_r, res_g, res_b, tri_hit, st) = _shade_segment(
+                shaded = _shade_segment(
                     seg, ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
                     res_r, res_g, res_b, alive, st,
                     best_t, hit, bnx, bny, bnz, bar, bag, bab,
                     lx, ly, lz, hdr_r, hdr_g, hdr_b, radius,
                     inv_first_dim, eps_off, cfg,
                 )
+                (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+                 res_r, res_g, res_b, tri_hit, st) = shaded[:14]
+
+                if cfg.nee:
+                    # shadow traversal for the NEE sample: any committed
+                    # hit closer than the sphere entry occludes. ox/oy/oz
+                    # are already the offset bounce origins on nee lanes.
+                    wlx, wly, wlz, s_t, bk_r, bk_g, bk_b, nmask = shaded[14]
+                    if num_clusters and bins_ref is not None:
+                        zero_s = jnp.zeros_like(ox)
+                        sinit = (
+                            s_t, jnp.zeros_like(ox, dtype=jnp.int32),
+                            zero_s, zero_s, zero_s, zero_s, zero_s, zero_s,
+                        )
+
+                        def srow(buf, j, s2):
+                            return _pair_test(
+                                buf, j, ox, oy, oz, wlx, wly, wlz, s2, cfg
+                            )
+
+                        s_o = _ordered_stream_loop(
+                            tri_ref, caabb_ref, saabb_ref,
+                            num_clusters, csize, num_supers, ssize,
+                            ox, oy, oz, wlx, wly, wlz, nmask, fparams_ref[19],
+                            srow, sinit,
+                            bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+                        )
+                        occluded = s_o[1] != 0
+                    elif num_clusters:
+                        s_best, s_hit2, _, _ = _nearest_hit_clustered(
+                            tri_ref, caabb_ref, saabb_ref,
+                            num_clusters, csize, num_supers, ssize,
+                            ox, oy, oz, wlx, wly, wlz, nmask, cfg,
+                        )
+                        occluded = s_hit2 & (s_best <= s_t)
+                    elif pairs:
+                        s_best, s_hit2, _, _ = _nearest_hit_pairs(
+                            tri_ref, num_tris, ox, oy, oz, wlx, wly, wlz, cfg
+                        )
+                        occluded = s_hit2 & (s_best <= s_t)
+                    else:
+                        s_best, s_hit2, _, _ = _nearest_hit_unrolled(
+                            tri_ref, num_tris, ox, oy, oz, wlx, wly, wlz, cfg
+                        )
+                        occluded = s_hit2 & (s_best <= s_t)
+                    lit = nmask & jnp.logical_not(occluded)
+                    res_r = res_r + jnp.where(lit, bk_r, jnp.float32(0.0))
+                    res_g = res_g + jnp.where(lit, bk_g, jnp.float32(0.0))
+                    res_b = res_b + jnp.where(lit, bk_b, jnp.float32(0.0))
 
                 return (seg + 1, ox, oy, oz, dx, dy, dz,
                         tp_r, tp_g, tp_b, res_r, res_g, res_b,
@@ -1389,14 +1530,18 @@ def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, caabb_ref, saa
                 final = jax.lax.while_loop(cond, body, init)
                 (_, _, _, _, _, _, _,
                  tp_r, tp_g, tp_b, res_r, res_g, res_b, alive_i, _) = final
-                # fall-through: surviving paths keep bare throughput
-                # (raytrace.comp.glsl:270)
-                survived = alive_i != 0
-                res_r = jnp.where(survived, tp_r, res_r)
-                res_g = jnp.where(survived, tp_g, res_g)
-                res_b = jnp.where(survived, tp_b, res_b)
+                if not cfg.nee:
+                    # fall-through: surviving paths keep bare throughput
+                    # (raytrace.comp.glsl:270); with NEE the result
+                    # accumulates instead and the quirk is dropped.
+                    survived = alive_i != 0
+                    res_r = jnp.where(survived, tp_r, res_r)
+                    res_g = jnp.where(survived, tp_g, res_g)
+                    res_b = jnp.where(survived, tp_b, res_b)
             else:
-                res_r, res_g, res_b = _run_with_compaction(cond, body, init)
+                res_r, res_g, res_b = _run_with_compaction(
+                    cond, body, init, nee=cfg.nee
+                )
             acc_r = acc_r + res_r
             acc_g = acc_g + res_g
             acc_b = acc_b + res_b

@@ -289,14 +289,41 @@ def _wavefront_kernel(
             counters=counters,
         )
         best_t, hit = o_s[0], o_s[1] != 0
-        (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
-         res_r, res_g, res_b, tri_hit, st) = _shade_segment(
+        shaded = _shade_segment(
             seg, ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
             res_r, res_g, res_b, alive, st,
             best_t, hit, o_s[2], o_s[3], o_s[4], o_s[5], o_s[6], o_s[7],
             lx, ly, lz, hdr_r, hdr_g, hdr_b, radius,
             inv_first_dim, eps_off, cfg,
         )
+        (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+         res_r, res_g, res_b, tri_hit, st) = shaded[:14]
+        if cfg.nee:
+            # NEE shadow traversal: a second streamed walk along the light
+            # sample, with the per-lane best capped at the sphere entry so
+            # the distance bins prune everything beyond it; any commit
+            # means occluded. Reuses the same scratch refs sequentially.
+            wlx, wly, wlz, s_t, bk_r, bk_g, bk_b, nmask = shaded[14]
+            zero_s = jnp.zeros_like(ox)
+            sinit = (
+                s_t, jnp.zeros_like(ox, dtype=jnp.int32),
+                zero_s, zero_s, zero_s, zero_s, zero_s, zero_s,
+            )
+
+            def srow(buf, j, s2):
+                return _pair_test(buf, j, ox, oy, oz, wlx, wly, wlz, s2, cfg)
+
+            s_o = _ordered_stream_loop(
+                table_ref, caabb_ref, saabb_ref,
+                num_clusters, csize, num_supers, ssize,
+                ox, oy, oz, wlx, wly, wlz, nmask, inv_diam,
+                srow, sinit,
+                bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+            )
+            lit = nmask & (s_o[1] == 0)
+            res_r = res_r + jnp.where(lit, bk_r, jnp.float32(0.0))
+            res_g = res_g + jnp.where(lit, bk_g, jnp.float32(0.0))
+            res_b = res_b + jnp.where(lit, bk_b, jnp.float32(0.0))
         return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
                 res_r, res_g, res_b, st, tri_hit.astype(jnp.int32))
 
@@ -604,12 +631,19 @@ def path_trace_wavefront(
                 _, planes, pix_plane = jax.lax.while_loop(
                     cond, body, (jnp.int32(0), planes, pix_plane)
                 )
-            # fall-through: surviving paths keep bare throughput
-            # (raytrace.comp.glsl:270)
-            alive_f = planes[13].reshape(n) != 0
-            res_r = jnp.where(alive_f, planes[6].reshape(n), planes[9].reshape(n))
-            res_g = jnp.where(alive_f, planes[7].reshape(n), planes[10].reshape(n))
-            res_b = jnp.where(alive_f, planes[8].reshape(n), planes[11].reshape(n))
+            if cfg.nee:
+                # with NEE the result accumulates along the path; the
+                # fall-through quirk is dropped (see ops/pathtrace.py)
+                res_r = planes[9].reshape(n)
+                res_g = planes[10].reshape(n)
+                res_b = planes[11].reshape(n)
+            else:
+                # fall-through: surviving paths keep bare throughput
+                # (raytrace.comp.glsl:270)
+                alive_f = planes[13].reshape(n) != 0
+                res_r = jnp.where(alive_f, planes[6].reshape(n), planes[9].reshape(n))
+                res_g = jnp.where(alive_f, planes[7].reshape(n), planes[10].reshape(n))
+                res_b = jnp.where(alive_f, planes[8].reshape(n), planes[11].reshape(n))
             # descramble: one 4-operand sort by pixel id (unique keys)
             _, r_p, g_p, b_p = jax.lax.sort(
                 (pix_plane.reshape(n), res_r, res_g, res_b), num_keys=1

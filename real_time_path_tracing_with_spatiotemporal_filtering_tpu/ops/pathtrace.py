@@ -55,17 +55,27 @@ def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, 
         light_hit, light_t = intersect.ray_sphere(
             o, d, light_pos, cfg.light_radius
         )
-        if not cfg.light_through_walls:
-            # Non-parity mode: the light only terminates the path if it is
-            # closer than the committed triangle hit.
+        if not cfg.light_through_walls or cfg.nee:
+            # Non-parity modes: the light only terminates the path if it is
+            # closer than the committed triangle hit. (NEE always uses the
+            # occlusion-aware geometry -- its shadow rays respect walls, so
+            # its termination must too.)
             light_hit = light_hit & (~rec.hit | (light_t < rec.t))
 
         # --- light termination (checked first, raytrace.comp.glsl:226-235)
         is_first = segment == 0
         dim = jnp.where(is_first, 1.0 / cfg.first_hit_light_dim, 1.0)
         light_term = alive & light_hit
+        if cfg.nee:
+            # The sphere still blocks-and-terminates (it is a blocker in
+            # the reference's transport), but only the camera segment adds
+            # its emission: deeper crossings were already accounted by the
+            # previous vertex's NEE shadow ray.
+            emit = light_term & is_first
+        else:
+            emit = light_term
         result = jnp.where(
-            light_term[..., None], accum * light_color_hdr * dim, result
+            emit[..., None], accum * light_color_hdr * dim, result
         )
 
         # --- triangle bounce (raytrace.comp.glsl:238-262)
@@ -84,11 +94,78 @@ def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, 
         # Only lanes that actually bounced consumed randoms (raytrace:256-257).
         state = jnp.where(tri_hit, new_state, state)
 
+        if cfg.nee:
+            # --- next-event estimation (non-parity; cfg.nee) ---
+            # Sample the sphere light's solid-angle cone from the offset
+            # hit point, shadow-test, and bank the direct contribution:
+            #   f = albedo/pi (already folded into accum), pdf = 1/Omega
+            #   -> accum * L_e * cos_x * Omega / pi.
+            # The two cone draws come AFTER the bounce draws so the path
+            # trajectory is identical to the parity estimator's.
+            to_l = light_pos - new_o
+            dist = jnp.linalg.norm(to_l, axis=-1)
+            wc = to_l / jnp.maximum(dist, 1e-20)[..., None]
+            sin_max = jnp.clip(
+                jnp.float32(cfg.light_radius) / jnp.maximum(dist, 1e-20),
+                0.0,
+                1.0,
+            )
+            cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_max * sin_max))
+            nee_state, u1 = rng_ops.pcg_step(state)
+            nee_state, u2 = rng_ops.pcg_step(nee_state)
+            state = jnp.where(tri_hit, nee_state, state)
+            cos_t = 1.0 - u1 * (1.0 - cos_max)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            phi = rng_ops.TWO_PI * u2
+            # branchless orthonormal basis around wc
+            pick = jnp.abs(wc[..., 0]) > 0.9
+            a_vec = jnp.where(
+                pick[..., None],
+                jnp.array([0.0, 1.0, 0.0], jnp.float32),
+                jnp.array([1.0, 0.0, 0.0], jnp.float32),
+            )
+            tang = jnp.cross(a_vec, wc)
+            tang = tang / jnp.maximum(
+                jnp.linalg.norm(tang, axis=-1, keepdims=True), 1e-20
+            )
+            bitang = jnp.cross(wc, tang)
+            w_l = (
+                cos_t[..., None] * wc
+                + (sin_t * jnp.cos(phi))[..., None] * tang
+                + (sin_t * jnp.sin(phi))[..., None] * bitang
+            )
+            cos_x = jnp.sum(n_ff * w_l, axis=-1)
+            rec_s = intersect.nearest_hit(
+                tri_data.planes, new_o, w_l, t_max=cfg.t_max,
+                eps=cfg.intersect_eps,
+            )
+            s_hit, s_t = intersect.ray_sphere(
+                new_o, w_l, light_pos, cfg.light_radius
+            )
+            lit = (
+                tri_hit
+                & (cos_x > 0.0)
+                & s_hit
+                & (~rec_s.hit | (s_t < rec_s.t))
+            )
+            omega = rng_ops.TWO_PI * (1.0 - cos_max)
+            gain = cos_x * omega * jnp.float32(1.0 / 3.14159265)
+            result = result + jnp.where(
+                lit[..., None], accum * light_color_hdr * gain[..., None], 0.0
+            )
+
         # --- sky termination (raytrace.comp.glsl:263-268)
         sky_term = alive & ~light_hit & ~rec.hit
-        result = jnp.where(
-            sky_term[..., None], accum * shading.sky_color(d), result
-        )
+        if cfg.nee:
+            # result may already hold banked NEE sums: add, don't replace
+            # (identical when zero, which is the parity-mode invariant).
+            result = result + jnp.where(
+                sky_term[..., None], accum * shading.sky_color(d), 0.0
+            )
+        else:
+            result = jnp.where(
+                sky_term[..., None], accum * shading.sky_color(d), result
+            )
 
         if cfg.rr_start_bounce:
             # --- Russian roulette (non-parity; cfg.rr_start_bounce) ---
@@ -117,7 +194,11 @@ def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, 
         0, cfg.max_bounces, body, (origins, dirs, accum, result, alive, rng_state)
     )
     # Loop fall-through: surviving paths return the bare albedo product
-    # (raytrace.comp.glsl:270).
+    # (raytrace.comp.glsl:270). With NEE the result accumulates along the
+    # path instead, so survivors keep their banked direct light and the
+    # quirk is dropped.
+    if cfg.nee:
+        return result
     return jnp.where(alive[..., None], accum, result)
 
 

@@ -88,3 +88,16 @@ def test_quality_bar_variance_guided():
     denoised, improvement = _quality_stats(variance_guided=True)
     assert denoised <= 0.175, f"denoised rMSE regressed: {denoised:.4f}"
     assert improvement >= 2.0, f"improvement regressed: {improvement:.2f}x"
+
+
+def test_quality_bar_nee():
+    """NEE + variance-guided: the framework's best-quality estimator.
+    Measured 0.043 denoised / 5.2x at 128px (512-spp truth, 2026-08-18);
+    bars leave headroom for sampling noise at the CI's 192-spp truth."""
+    from benchmarks.quality import run
+
+    stats = run(size=128, spp=192, frames=20, variance_guided=True, nee=True)
+    denoised = stats["rmse_denoised"]
+    improvement = stats["rmse_noisy_1spp"] / max(denoised, 1e-12)
+    assert denoised <= 0.06, f"denoised rMSE regressed: {denoised:.4f}"
+    assert improvement >= 4.0, f"improvement regressed: {improvement:.2f}x"
