@@ -1071,7 +1071,7 @@ def _ordered_stream_loop(
 
 def _nearest_hit_clustered(
     pair_ref, caabb_ref, saabb_ref, num_clusters, csize, num_supers, ssize,
-    ox, oy, oz, dx, dy, dz, alive, cfg,
+    ox, oy, oz, dx, dy, dz, alive, cfg, init_best=None,
 ):
     """Closest-hit over a 2-level Morton hierarchy of merged pairs with the
     table resident on-chip (tables beyond the SMEM budget use
@@ -1110,7 +1110,10 @@ def _nearest_hit_clustered(
 
     zero = jnp.zeros_like(ox)
     init = (
-        jnp.full_like(ox, big),
+        # init_best: cap the search (e.g. a shadow ray's sphere-entry
+        # distance) -- subtrees entirely beyond it are skipped and a commit
+        # means "occluded", never a wrong nearest (strict < in _pair_test).
+        jnp.full_like(ox, big) if init_best is None else init_best,
         jnp.zeros_like(ox, dtype=jnp.int32),
         zero, zero, zero, zero, zero, zero,
     )
@@ -1493,12 +1496,13 @@ def _trace_kernel(fparams_ref, iparams_ref, uparams_ref, tri_ref, caabb_ref, saa
                         )
                         occluded = s_o[1] != 0
                     elif num_clusters:
-                        s_best, s_hit2, _, _ = _nearest_hit_clustered(
+                        _, s_hit2, _, _ = _nearest_hit_clustered(
                             tri_ref, caabb_ref, saabb_ref,
                             num_clusters, csize, num_supers, ssize,
                             ox, oy, oz, wlx, wly, wlz, nmask, cfg,
+                            init_best=s_t,
                         )
-                        occluded = s_hit2 & (s_best <= s_t)
+                        occluded = s_hit2
                     elif pairs:
                         s_best, s_hit2, _, _ = _nearest_hit_pairs(
                             tri_ref, num_tris, ox, oy, oz, wlx, wly, wlz, cfg
