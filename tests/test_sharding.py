@@ -179,3 +179,26 @@ def test_sharded_streaming_scene_routes_to_wavefront(rng_np):
     assert np.isfinite(a).all()
     mismatched = (np.abs(a - b) > 1e-6 + 1e-5 * np.abs(b)).any(axis=-1)
     assert mismatched.mean() <= 5e-4, f"{mismatched.sum()} pixels differ"
+
+
+@requires_8
+def test_sharded_frame_nee_rr_matches_single_chip(cornell_tri_data):
+    """The estimator extensions (NEE shadow rays + Russian roulette) are
+    per-pixel against the replicated scene tables: row sharding must stay
+    numerically identical to single-chip with both enabled."""
+    cfg = dataclasses.replace(
+        CFG, nee=True, rr_start_bounce=2, variance_guided=True
+    )
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    cam, light = Camera.default(), Light.default()
+    for _ in range(2):
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+    )
