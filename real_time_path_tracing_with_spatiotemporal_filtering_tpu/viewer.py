@@ -63,7 +63,10 @@ def run_viewer(args) -> None:
         FrameTimer,
     )
 
-    cfg = ptsf.RenderConfig(width=args.width, height=args.height)
+    cfg = ptsf.RenderConfig(
+        width=args.width, height=args.height,
+        nee=args.nee, rr_start_bounce=args.rr_start_bounce,
+    )
     scene = (
         ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))
         if args.scene
@@ -128,6 +131,10 @@ def main() -> None:
     parser.add_argument("--record", default=None, help="dir for PNG recording")
     parser.add_argument("--record-every", type=int, default=1)
     parser.add_argument("--headless", action="store_true")
+    parser.add_argument("--nee", action="store_true",
+                        help="next-event estimation (non-parity)")
+    parser.add_argument("--rr-start-bounce", type=int, default=0,
+                        help="Russian roulette from this bounce (0 = off)")
     parser.add_argument("--no-preview", action="store_true")
     run_viewer(parser.parse_args())
 
