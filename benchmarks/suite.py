@@ -76,6 +76,14 @@ def run_suite(quick: bool):
         ("cornell_512_full_svgf_rr4_nonparity", bench_renderer(cornell(cfg2rr), frames))
     )
 
+    # 2c. (extra, non-parity) NEE + variance guidance: the framework's
+    # best-quality estimator (denoised rMSE 0.043 vs 0.155, quality.py);
+    # the shadow ray roughly doubles trace cost
+    cfg2nee = dataclasses.replace(cfg2, nee=True)
+    results.append(
+        ("cornell_512_svgf_nee_nonparity", bench_renderer(cornell(cfg2nee), frames))
+    )
+
     # 3. orbiting camera, full A-SVGF with adaptive alpha, 1080p
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
         Camera,
