@@ -181,7 +181,8 @@ def _gather_aligned(img, prev_y, prev_x):
 
 
 def accumulate_moments(
-    lum, prev_moments, prev_y, prev_x, frame_idx, cfg, var_spatial=None
+    lum, prev_moments, prev_y, prev_x, frame_idx, cfg, var_spatial=None,
+    reproj=None,
 ):
     """Temporal EMA of the (mu1, mu2) luminance moments at the backprojected
     pixel; ``lum`` is the current frame's luminance plane. Returns
@@ -192,9 +193,12 @@ def accumulate_moments(
     current frame's moments substitutes (not enough temporal history).
     ``var_spatial``: precomputed :func:`spatial_variance` (sharded mode
     passes a halo-exchanged one; the local default clamps at shard
-    edges)."""
+    edges). ``reproj``: pre-gathered previous moments at (prev_y, prev_x)
+    (sharded mode passes parallel.sharding.reproject_rows_sharded's
+    result); defaults to gathering from ``prev_moments`` here."""
     m_now = jnp.stack([lum, lum * lum], axis=-1)
-    reproj = _gather_aligned(prev_moments, prev_y, prev_x)
+    if reproj is None:
+        reproj = _gather_aligned(prev_moments, prev_y, prev_x)
     a = jnp.float32(cfg.moments_alpha)
     m = reproj * (1.0 - a) + m_now * a
     m = jnp.where(frame_idx > 0, m, m_now)
@@ -305,7 +309,10 @@ def backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg, row_offset=0):
     return py, px
 
 
-def temporal_accumulate_at(filtered, prev_image, prev_y, prev_x, frame_idx, lam, cfg):
+def temporal_accumulate_at(
+    filtered, prev_image, prev_y, prev_x, frame_idx, lam, cfg,
+    reprojected=None,
+):
     """EMA blend with precomputed backprojection coordinates (the Pallas
     geometry kernel emits them); only the image gather + blend remain.
 
@@ -313,9 +320,15 @@ def temporal_accumulate_at(filtered, prev_image, prev_y, prev_x, frame_idx, lam,
     (camera and geometry unchanged -- the common interactive case), the
     ~10 ms/1080p random gather collapses to an aligned read, chosen by a
     runtime lax.cond on the index planes.
+
+    ``reprojected``: pre-gathered history at (prev_y, prev_x) -- sharded
+    mode passes parallel.sharding.reproject_rows_sharded's result and
+    ``prev_image`` is ignored.
     """
     h, w = prev_y.shape
-    if prev_image.shape[:2] == (h, w):
+    if reprojected is not None:
+        pass
+    elif prev_image.shape[:2] == (h, w):
         own_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         own_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         aligned = jnp.all((prev_y == own_y) & (prev_x == own_x))

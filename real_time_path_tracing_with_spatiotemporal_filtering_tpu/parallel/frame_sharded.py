@@ -5,8 +5,11 @@ across a 1-D mesh. G-buffer, gradient and path tracing are embarrassingly
 parallel per pixel with the (tiny) scene replicated -- zero communication.
 The a-trous filter at stride k needs a k-row halo per side per iteration,
 exchanged with neighbor shards over ICI (ppermute). Temporal reprojection
-gathers arbitrary previous-frame pixels, so the (small) history image is
-all-gathered once per frame; everything else stays sharded.
+reads previous-frame pixels, but consecutive-frame motion is bounded (a
+few rows), so the history gathers also resolve through a small ppermute
+row-halo exchange (sharding.reproject_rows_sharded); only motion beyond
+the window (camera cuts) falls back to an all-gather, decided uniformly
+across the mesh. Everything stays sharded in the steady state.
 
 Because pixel seeds, ray directions and filter taps are all functions of
 GLOBAL pixel coordinates, the sharded render is numerically identical to
@@ -33,6 +36,7 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.parallel.sharding import (
     ROW_AXIS,
     exchange_row_halo,
+    reproject_rows_sharded,
 )
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.frame import (
     camera_matrices,
@@ -137,18 +141,19 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
             row_offset=row_offset, rows=local_h, rotation=camera.rotation,
         )
 
+    # Backprojected coordinates are GLOBAL; history gathers resolve through
+    # the windowed halo exchange (all-gather only beyond the motion window,
+    # parallel.sharding.reproject_rows_sharded).
+    if use_pallas:
+        py, px = geo.prev_y, geo.prev_x
+    else:
+        py, px = atrous.backproject_pixels(
+            gbuf, history_local.lut, history_local.view,
+            history_local.proj, cfg, row_offset=row_offset,
+        )
     if cfg.variance_guided:
-        # backprojected coordinates are GLOBAL; gather from the all-gathered
-        # previous moments (same pattern as the color history below)
-        if use_pallas:
-            py, px = geo.prev_y, geo.prev_x
-        else:
-            py, px = atrous.backproject_pixels(
-                gbuf, history_local.lut, history_local.view,
-                history_local.proj, cfg, row_offset=row_offset,
-            )
-        moments_full = jax.lax.all_gather(
-            history_local.moments, axis, axis=0, tiled=True
+        reproj_moments = reproject_rows_sharded(
+            history_local.moments, py, px, row_offset, axis_name=axis
         )
         lum = atrous.luminance(noisy)
         # young-history spatial estimate needs cross-shard rows (5x5 box)
@@ -156,8 +161,8 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
             exchange_row_halo(lum, 2, axis), halo=2
         )
         moments, v = atrous.accumulate_moments(
-            lum, moments_full, py, px, frame_idx, cfg,
-            var_spatial=var_spatial,
+            lum, history_local.moments, py, px, frame_idx, cfg,
+            var_spatial=var_spatial, reproj=reproj_moments,
         )
     else:
         moments = None
@@ -180,17 +185,13 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
                 k, cfg, halo=k,
             )
 
-    prev_full = jax.lax.all_gather(history_local.image, axis, axis=0, tiled=True)
-    if use_pallas:
-        rgb = atrous.temporal_accumulate_at(
-            c, prev_full, geo.prev_y, geo.prev_x, frame_idx, lam, cfg
-        )
-    else:
-        rgb = atrous.temporal_accumulate(
-            c, prev_full, gbuf, history_local.lut,
-            history_local.view, history_local.proj, frame_idx, lam, cfg,
-            row_offset=row_offset,
-        )
+    reproj_image = reproject_rows_sharded(
+        history_local.image, py, px, row_offset, axis_name=axis
+    )
+    rgb = atrous.temporal_accumulate_at(
+        c, history_local.image, py, px, frame_idx, lam, cfg,
+        reprojected=reproj_image,
+    )
 
     new_history = History(
         image=rgb,

@@ -8,6 +8,12 @@ from jax.sharding import Mesh
 
 ROW_AXIS = "rows"
 
+# Row half-window for the sharded reprojection fast path. Matches the
+# Pallas blend window (ops.pallas.atrous.REPROJ_DY, measured orbit deltas
+# |dy| <= 2): consecutive-frame motion moves a surface point at most a few
+# rows, so the history gather only needs this many neighbor rows per side.
+REPROJ_HALO_ROWS = 4
+
 
 def make_mesh(n_devices: int | None = None, axis: str = ROW_AXIS) -> Mesh:
     """1-D device mesh over the first ``n_devices`` devices."""
@@ -52,3 +58,61 @@ def exchange_row_halo(x: jnp.ndarray, halo: int, axis_name: str = ROW_AXIS):
     top = jnp.where(idx == 0, edge_top, from_above)
     bot = jnp.where(idx == n - 1, edge_bot, from_below)
     return jnp.concatenate([top, x, bot], axis=0)
+
+
+def reproject_rows_sharded(
+    plane: jnp.ndarray,
+    prev_y: jnp.ndarray,
+    prev_x: jnp.ndarray,
+    row_offset: jnp.ndarray,
+    halo: int = REPROJ_HALO_ROWS,
+    axis_name: str = ROW_AXIS,
+):
+    """``plane_global[prev_y, prev_x]`` for a row-sharded history plane.
+
+    ``prev_y``/``prev_x`` are GLOBAL backprojected pixel coordinates of this
+    shard's rows (ops.atrous.backproject_pixels). Instead of all-gathering
+    the full-height plane every frame (the reference reads its history
+    image globally, temporalFiltering.comp.glsl:250-254), exchange a
+    ``halo``-row neighbor window over ICI -- consecutive-frame motion is a
+    few rows at most (measured orbit deltas |dy| <= 2, see
+    ops.pallas.atrous.REPROJ_DY) -- and gather locally. Per frame that is
+    2*halo rows per neighbor pair instead of the whole image: ~100x less
+    ICI traffic at 1080p/8 chips.
+
+    Row deltas beyond the window (camera cuts, teleports) fall back to one
+    all-gather. Both branches contain collectives, so the branch predicate
+    is reduced over the mesh axis (lax.pmin) -- every device takes the same
+    branch. Inside the windowed branch, an identity backprojection (static
+    view) skips the gather entirely, matching the single-chip fast path
+    (ops.atrous._gather_aligned).
+
+    Results are bit-identical to gathering from the all-gathered plane
+    (tests/test_sharding.py).
+    """
+    local_h, w = prev_y.shape
+    own_y = jax.lax.broadcasted_iota(jnp.int32, (local_h, w), 0) + row_offset
+    own_x = jax.lax.broadcasted_iota(jnp.int32, (local_h, w), 1)
+    dy = prev_y - own_y
+    small_local = jnp.all(jnp.abs(dy) <= halo).astype(jnp.int32)
+    small = jax.lax.pmin(small_local, axis_name) > 0
+
+    # The exchange itself is collective, so it runs unconditionally (both
+    # cond branches must issue identical collectives per device); it is
+    # cheap -- 2*halo rows per neighbor.
+    padded = exchange_row_halo(plane, halo, axis_name)
+
+    def windowed(_):
+        aligned = jnp.all((dy == 0) & (prev_x == own_x))
+        local_py = jnp.clip(prev_y - row_offset + halo, 0, local_h + 2 * halo - 1)
+        return jax.lax.cond(
+            aligned,
+            lambda: plane,
+            lambda: padded[local_py, prev_x],
+        )
+
+    def fallback(_):
+        full = jax.lax.all_gather(plane, axis_name, axis=0, tiled=True)
+        return full[prev_y, prev_x]
+
+    return jax.lax.cond(small, windowed, fallback, None)

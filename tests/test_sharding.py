@@ -202,3 +202,90 @@ def test_sharded_frame_nee_rr_matches_single_chip(cornell_tri_data):
     np.testing.assert_allclose(
         np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
     )
+
+
+@requires_8
+def test_reproject_rows_sharded_branches(rng_np):
+    """The windowed sharded history reprojection == full-plane gather on
+    all three routes: identity (no gather), within the row window (halo
+    exchange), beyond it (all-gather fallback, uniform across the mesh)."""
+    mesh = sharding.make_mesh(8)
+    H, W = 48, 16
+    halo = sharding.REPROJ_HALO_ROWS
+    plane = jnp.asarray(rng_np.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    own_y = np.broadcast_to(np.arange(H)[:, None], (H, W))
+    own_x = np.broadcast_to(np.arange(W)[None, :], (H, W))
+    cases = {
+        "identity": (own_y, own_x),
+        # any column delta is fine (columns are local to a row shard)
+        "window": (
+            np.clip(own_y + rng_np.integers(-halo, halo + 1, (H, W)), 0, H - 1),
+            np.clip(own_x + rng_np.integers(-7, 8, (H, W)), 0, W - 1),
+        ),
+        "cut": (
+            rng_np.integers(0, H, (H, W)),
+            rng_np.integers(0, W, (H, W)),
+        ),
+    }
+    assert np.abs(cases["cut"][0] - own_y).max() > halo  # really a cut
+    local_h = H // 8
+
+    def shard_fn(pl_, py, px):
+        off = jax.lax.axis_index("rows") * local_h
+        return sharding.reproject_rows_sharded(pl_, py, px, off)
+
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows")),
+        out_specs=P("rows"),
+    )
+    for name, (py, px) in cases.items():
+        out = f(
+            plane,
+            jnp.asarray(py, jnp.int32),
+            jnp.asarray(px, jnp.int32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(plane)[py, px], err_msg=name
+        )
+
+
+@requires_8
+def test_sharded_frame_orbit_then_cut(cornell_tri_data):
+    """An orbiting camera's history gathers resolve through the bounded
+    halo window; a hard camera cut exceeds it and takes the all-gather
+    fallback. Both must match the single-chip frame exactly."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+        gbuffer,
+    )
+
+    cfg = dataclasses.replace(CFG, adaptive_alpha=True, variance_guided=True)
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    light = Light.default()
+    for angle in (0.0, 0.02, 0.04, 1.5):  # orbit steps, then a cut
+        cam = Camera.orbit([0.0, 1.0, 0.0], 6.0, angle, height=1.0)
+        if angle == 1.5:
+            # prove the cut really exceeds the row window on this scene
+            view, proj = frame_mod.camera_matrices(cam, cfg)
+            gbuf = gbuffer.visibility_pass(
+                cornell_tri_data, cam.position, view, proj, cfg,
+                rotation=cam.rotation,
+            )
+            py, _ = atrous.backproject_pixels(
+                gbuf, hist_ref.lut, hist_ref.view, hist_ref.proj, cfg
+            )
+            own_y = np.arange(cfg.height)[:, None]
+            assert np.abs(np.asarray(py) - own_y).max() > (
+                sharding.REPROJ_HALO_ROWS
+            )
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+        )
