@@ -36,7 +36,10 @@ def ground_truth(tri_data, camera, light, cfg, total_spp: int):
 
     # Normalize away filter-only fields: the trace truth is identical for
     # parity vs variance-guided filtering (RenderConfig is frozen/hashable).
-    cfg = _dc.replace(cfg, variance_guided=False, adaptive_alpha=False)
+    cfg = _dc.replace(
+        cfg, variance_guided=False, adaptive_alpha=False,
+        demodulate_albedo=False,
+    )
     key = (cfg, total_spp)
     cached = _TRUTH_CACHE.get(key)
     if cached is not None:
@@ -62,6 +65,7 @@ def run(
     variance_guided: bool = False,
     rr_start_bounce: int = 0,
     nee: bool = False,
+    demodulate: bool = False,
 ):
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
@@ -74,8 +78,10 @@ def run(
     )
 
     cfg = ptsf.RenderConfig(
-        width=size, height=size, variance_guided=variance_guided,
+        width=size, height=size,
+        variance_guided=variance_guided or demodulate,
         rr_start_bounce=rr_start_bounce, nee=nee,
+        demodulate_albedo=demodulate,
     )
     scene = ptsf.Scene.cornell_box()
     td = precompute_triangle_data(scene)
@@ -130,20 +136,30 @@ def main():
         "(variance-guided mode only; quantifies RR's noise cost)",
     )
     parser.add_argument(
+        "--demod", action="store_true",
+        help="also measure with SVGF albedo demodulation (parity and "
+        "variance-guided filtering of irradiance)",
+    )
+    parser.add_argument(
         "--nee", action="store_true",
         help="also measure with next-event estimation (variance-guided)",
     )
     args = parser.parse_args()
-    modes = [(False, 0, False)] if args.skip_variance else [
-        (False, 0, False), (True, 0, False)
+    modes = [(False, 0, False, False)] if args.skip_variance else [
+        (False, 0, False, False), (True, 0, False, False)
     ]
     if args.rr_start_bounce:
-        modes.append((True, args.rr_start_bounce, False))
+        modes.append((True, args.rr_start_bounce, False, False))
     if args.nee:
-        modes.append((True, 0, True))
-    for variance_guided, rr, nee in modes:
+        modes.append((True, 0, True, False))
+    if args.demod:
+        # demodulation requires the variance-normalized (scale-invariant)
+        # luminance weight (config.py validation)
+        modes.append((True, 0, False, True))
+    for variance_guided, rr, nee, demod in modes:
         stats = run(
-            args.size, args.spp, args.frames, variance_guided, rr, nee
+            args.size, args.spp, args.frames, variance_guided, rr, nee,
+            demodulate=demod,
         )
         improvement = stats["rmse_noisy_1spp"] / max(
             stats["rmse_denoised"], 1e-12
@@ -153,6 +169,8 @@ def main():
             mode += f" + RR@{rr}"
         if nee:
             mode += " + NEE"
+        if demod:
+            mode += " + albedo demod"
         print(
             json.dumps(
                 {

@@ -32,6 +32,10 @@ def main() -> None:
                              "weights (extension; off = reference parity)")
     parser.add_argument("--adaptive-alpha", action="store_true",
                         help="enable gradient-driven adaptive EMA alpha")
+    parser.add_argument("--demodulate-albedo", action="store_true",
+                        help="SVGF albedo demodulation: filter irradiance "
+                             "(color / primary-hit albedo), re-modulate "
+                             "for display (extension; off = parity)")
     parser.add_argument("--nee", action="store_true",
                         help="next-event estimation: explicit light "
                         "sampling with shadow rays (non-parity; much "
@@ -76,6 +80,7 @@ def main() -> None:
         wavelet_iterations=args.wavelet_iterations,
         adaptive_alpha=args.adaptive_alpha,
         variance_guided=args.variance_guided,
+        demodulate_albedo=args.demodulate_albedo,
         light_through_walls=not args.no_light_quirk,
         rr_start_bounce=args.rr_start_bounce,
         nee=args.nee,

@@ -103,6 +103,18 @@ class RenderConfig:
     # w_l = exp(-|l_p - l_q| / (sigma_l * sqrt(gauss3x3(var)) + eps)).
     # Off by default for reference parity (bit-identical when False).
     variance_guided: bool = False
+    # Filter demodulated irradiance instead of radiance (SVGF Schied et al.
+    # 2017 section 3: "we demodulate surface albedo ... before filtering"):
+    # the noisy color is divided by the primary-hit albedo's LUMINANCE
+    # before the a-trous/temporal chain (history is stored in irradiance
+    # space) and re-modulated for display, so albedo brightness edges stay
+    # crisp instead of bleeding through the filter. Scalar (not
+    # per-channel) division because the parity albedos carry exact-zero
+    # channels and the sphere-light glow is unmodulated radiance -- see
+    # ops.atrous.demod_scale. The reference filters raw radiance -- off by
+    # default for parity (bit-identical when False).
+    demodulate_albedo: bool = False
+    demod_eps: float = 1e-3          # albedo-luminance division guard
     moments_alpha: float = 0.2       # EMA weight of the current moments
     # For the first few frames the temporal variance estimate has too little
     # history; use a 5x5 spatial moment estimate instead (paper section 4.2).
@@ -145,6 +157,18 @@ class RenderConfig:
             raise ValueError("rr_start_bounce must be >= 0 (0 = off)")
         if not (0.0 < self.rr_min_prob <= self.rr_max_prob <= 1.0):
             raise ValueError("need 0 < rr_min_prob <= rr_max_prob <= 1")
+        if self.demodulate_albedo and not self.variance_guided:
+            # The parity w_l uses a FIXED sigma_l; demodulation rescales
+            # irradiance per surface (1/albedo luminance), so un-normalized
+            # weights stop smoothing dark-albedo surfaces (verified
+            # visually: heavy residual speckle). The variance-normalized
+            # w_l is scale-invariant, which is the combination SVGF
+            # actually describes.
+            raise ValueError(
+                "demodulate_albedo requires variance_guided=True (the "
+                "fixed-sigma parity luminance weight is not invariant to "
+                "the demodulation rescale)"
+            )
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto, xla or pallas")
 

@@ -163,6 +163,54 @@ def spatial_variance(lum, halo: int = 0):
     return jnp.maximum(s2 - s1 * s1, 0.0)
 
 
+def albedo_image(tri_data, visibility):
+    """Primary-hit albedo per pixel from the visibility plane (primID+1,
+    0 = background -> 1.0). XLA-path twin of the Pallas geometry kernel's
+    emit_albedo planes; used for SVGF albedo demodulation
+    (cfg.demodulate_albedo)."""
+    lut = jnp.concatenate(
+        [
+            jnp.ones((1, 3), jnp.float32),
+            jnp.asarray(tri_data.albedo, jnp.float32),
+        ]
+    )
+    return lut[visibility.astype(jnp.int32)]
+
+
+def demod_scale(albedo, cfg):
+    """Scalar demodulation factor per pixel: max(luminance(albedo), eps).
+
+    SVGF (Schied et al. 2017 section 3) divides albedo out before
+    filtering. Done per CHANNEL that explodes here: the parity albedos
+    have exact-zero channels (red wall = (r, 0, 0), raytrace.comp.glsl:
+    155-163), so channel-wise division turns unmodulated radiance (the
+    sphere-light glow, which is added with pre-albedo throughput) into
+    1/eps-scale values and re-modulation then tints it by the wall color.
+    Dividing by the albedo's LUMINANCE instead normalizes the brightness
+    variation (the thing the filter's w_l cares about) while preserving
+    chroma exactly -- (c / s) * s round-trips bit-tight for every albedo.
+    ``albedo``: (H, W, 3) stacked or a 3-tuple of planes."""
+    if isinstance(albedo, tuple):
+        lum = luminance_planes(*albedo)
+    else:
+        lum = luminance(albedo)
+    return jnp.maximum(lum, jnp.float32(cfg.demod_eps))
+
+
+def demodulate(color, scale):
+    """color / demod_scale (broadcast over channels for stacked color)."""
+    if color.ndim == scale.ndim + 1:
+        scale = scale[..., None]
+    return color / scale
+
+
+def modulate(color, scale):
+    """Inverse of :func:`demodulate`: restore display radiance."""
+    if color.ndim == scale.ndim + 1:
+        scale = scale[..., None]
+    return color * scale
+
+
 def _gather_aligned(img, prev_y, prev_x):
     """``img[prev_y, prev_x]`` with the identity-map fast path (see
     temporal_accumulate_at): a runtime lax.cond skips the expensive random

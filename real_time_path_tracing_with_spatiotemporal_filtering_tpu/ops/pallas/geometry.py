@@ -48,6 +48,9 @@ class GeometryBuffers(NamedTuple):
     prev_y: jnp.ndarray       # (H, W) int32 backprojected row
     prev_x: jnp.ndarray       # (H, W) int32 backprojected col
     world_pos: jnp.ndarray    # (H, W, 3)
+    # primary-hit albedo, 1.0 at misses; only emitted when the pass is
+    # asked for it (cfg.demodulate_albedo), None otherwise
+    albedo: jnp.ndarray | None = None
 
 
 def _cross(ax, ay, az, bx, by, bz):
@@ -114,7 +117,7 @@ def _geometry_kernel(
     fparams_ref, iparams_ref, tri_ref, vprev_ref,
     out_vis, out_depth, out_nx, out_ny, out_nz,
     out_lam, out_py, out_px, out_wx, out_wy, out_wz,
-    *, cfg, num_tris,
+    *out_albedo, cfg, num_tris,
 ):
     cam_x, cam_y, cam_z = fparams_ref[0], fparams_ref[1], fparams_ref[2]
     row_offset = iparams_ref[0]
@@ -135,12 +138,15 @@ def _geometry_kernel(
     oy = jnp.full_like(dx, cam_y)
     oz = jnp.full_like(dx, cam_z)
 
-    best_t, hit, (n_ux, n_uy, n_uz), _, vis = _nearest_hit_unrolled(
+    best_t, hit, (n_ux, n_uy, n_uz), alb, vis = _nearest_hit_unrolled(
         tri_ref, num_tris, ox, oy, oz, dx, dy, dz, cfg, track_prim=True
     )
     wx = jnp.where(hit, ox + best_t * dx, 0.0)
     wy = jnp.where(hit, oy + best_t * dy, 0.0)
     wz = jnp.where(hit, oz + best_t * dz, 0.0)
+    if out_albedo:  # demodulation mode: emit primary-hit albedo (1 at miss)
+        for ref, a in zip(out_albedo, alb):
+            ref[:] = jnp.where(hit, a, jnp.float32(1.0))
 
     # --- committed-triangle vertex select (replaces lut[prim] gathers) ---
     def sel_body(t, s):
@@ -370,9 +376,12 @@ def _geometry_clustered_kernel(
     fparams_ref, iparams_ref, table_ref, caabb_ref, saabb_ref,
     out_vis, out_depth, out_nx, out_ny, out_nz,
     out_lam, out_py, out_px, out_wx, out_wy, out_wz,
-    bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
-    *, cfg, num_clusters, csize, num_supers, ssize,
+    *rest, cfg, num_clusters, csize, num_supers, ssize, emit_albedo=False,
 ):
+    if emit_albedo:
+        out_ar, out_ag, out_ab = rest[:3]
+        rest = rest[3:]
+    bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1 = rest
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
         _ordered_stream_loop,
     )
@@ -435,10 +444,16 @@ def _geometry_clustered_kernel(
             out.append(jnp.where(closer, buf[r, 21 + c], s[6 + c]))
         for c in range(9):
             out.append(jnp.where(closer, buf[r, 31 + c], s[15 + c]))
+        if emit_albedo:  # committed albedo (table cols 15:18)
+            for c in range(3):
+                out.append(jnp.where(closer, buf[r, 15 + c], s[24 + c]))
         return tuple(out)
 
     zero = jnp.zeros_like(ox)
-    init = (jnp.full_like(ox, big), jnp.zeros_like(ox, jnp.int32)) + (zero,) * 22
+    n_carry = 25 if emit_albedo else 22
+    init = (
+        jnp.full_like(ox, big), jnp.zeros_like(ox, jnp.int32)
+    ) + (zero,) * n_carry
 
     out = _ordered_stream_loop(
         table_ref, caabb_ref, saabb_ref,
@@ -457,6 +472,9 @@ def _geometry_clustered_kernel(
     wx = jnp.where(hit, ox + best_t * dx, 0.0)
     wy = jnp.where(hit, oy + best_t * dy, 0.0)
     wz = jnp.where(hit, oz + best_t * dz, 0.0)
+    if emit_albedo:
+        for ref, a in zip((out_ar, out_ag, out_ab), out[24:27]):
+            ref[:] = jnp.where(hit, a, jnp.float32(1.0))
 
     _geometry_epilogue(
         fparams_ref, cfg, gx, gy, hit, vis, unit_n, (wx, wy, wz), verts,
@@ -475,12 +493,18 @@ def geometry_pass_pallas(
     tri_data, lut_prev, camera_pos, light_pos, light_pos_prev,
     light_color, light_color_prev, view, proj, view_prev, proj_prev, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
+    emit_albedo=False,
 ) -> GeometryBuffers:
     """Fused G-buffer + gradient + backprojection pass.
 
     ``planar``: keep normal/world_pos as channel-plane tuples instead of
     stacked (H, W, 3) arrays (saves two 25 MB copies at 1080p in the frame
-    hot path)."""
+    hot path).
+
+    ``emit_albedo``: also output the primary-hit albedo planes (1.0 at
+    misses) for SVGF albedo demodulation (cfg.demodulate_albedo) -- the
+    committed albedo already rides the intersection's ``closer`` update,
+    so this is three extra predicated selects, not a per-pixel gather."""
     h = cfg.height if rows is None else rows
     w = cfg.width
 
@@ -523,6 +547,9 @@ def geometry_pass_pallas(
         jax.ShapeDtypeStruct((h, w), f32),        # wy
         jax.ShapeDtypeStruct((h, w), f32),        # wz
     ]
+    if emit_albedo:
+        out_shape += [jax.ShapeDtypeStruct((h, w), f32)] * 3  # ar, ag, ab
+    n_out = len(out_shape)
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
         NBINS as pt_NBINS,
         _table_space,
@@ -582,7 +609,7 @@ def geometry_pass_pallas(
         kernel = functools.partial(
             _geometry_clustered_kernel, cfg=cfg,
             num_clusters=num_clusters, csize=csize,
-            num_supers=num_supers, ssize=ssize,
+            num_supers=num_supers, ssize=ssize, emit_albedo=emit_albedo,
         )
         outs = pl.pallas_call(
             kernel,
@@ -595,7 +622,7 @@ def geometry_pass_pallas(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * 11,
+            out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * n_out,
             out_shape=out_shape,
             scratch_shapes=[
                 # SMEM: the triangle loop is scalar-read bound and SMEM
@@ -630,11 +657,12 @@ def geometry_pass_pallas(
                 pl.BlockSpec(memory_space=_table_space(num_tris, 30)),
                 pl.BlockSpec(memory_space=_table_space(num_tris, 9)),
             ],
-            out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * 11,
+            out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * n_out,
             out_shape=out_shape,
             interpret=interpret,
         )(fparams, iparams, _merge_tables(tri_table, cur_verts), prev_verts)
-    vis, depth, nx, ny, nz, lam, prev_y, prev_x, wx, wy, wz = outs
+    vis, depth, nx, ny, nz, lam, prev_y, prev_x, wx, wy, wz = outs[:11]
+    alb = tuple(outs[11:14]) if emit_albedo else None
     if planar:
         return GeometryBuffers(
             visibility=vis,
@@ -644,6 +672,7 @@ def geometry_pass_pallas(
             prev_y=prev_y,
             prev_x=prev_x,
             world_pos=(wx, wy, wz),
+            albedo=alb,
         )
     return GeometryBuffers(
         visibility=vis,
@@ -653,6 +682,7 @@ def geometry_pass_pallas(
         prev_y=prev_y,
         prev_x=prev_x,
         world_pos=jnp.stack([wx, wy, wz], axis=-1),
+        albedo=jnp.stack(list(alb), axis=-1) if alb is not None else None,
     )
 
 

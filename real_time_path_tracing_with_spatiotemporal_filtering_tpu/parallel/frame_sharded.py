@@ -99,6 +99,7 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
             view, proj, history_local.view, history_local.proj, cfg,
             row_offset=row_offset, rows=local_h,
             interpret=interpret, rotation=camera.rotation,
+            emit_albedo=cfg.demodulate_albedo,
         )
         visibility = geo.visibility
         depth = geo.depth
@@ -140,6 +141,15 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
             tri_data, camera.position, light, frame_idx, cfg,
             row_offset=row_offset, rows=local_h, rotation=camera.rotation,
         )
+
+    if cfg.demodulate_albedo:
+        # SVGF albedo demodulation (config.py): per-pixel, so the sharded
+        # path is identical to single-chip -- no communication
+        alb = geo.albedo if use_pallas else atrous.albedo_image(
+            tri_data, visibility
+        )
+        demod_s = atrous.demod_scale(alb, cfg)
+        noisy = atrous.demodulate(noisy, demod_s)
 
     # Backprojected coordinates are GLOBAL; history gathers resolve through
     # the windowed halo exchange (all-gather only beyond the motion window,
@@ -204,6 +214,9 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         frame=frame_idx + 1,
         moments=moments,
     )
+    if cfg.demodulate_albedo:
+        # display radiance; history stays demodulated
+        return atrous.modulate(rgb, demod_s), new_history
     return rgb, new_history
 
 

@@ -136,6 +136,13 @@ def render_frame_impl(
     )
 
     # -- pass 4: a-trous filter + temporal EMA (temporalFiltering.comp.glsl) --
+    if cfg.demodulate_albedo:
+        # SVGF extension: filter irradiance, not radiance (config.py) --
+        # history is carried demodulated; display re-modulates at the end
+        demod_s = atrous.demod_scale(
+            atrous.albedo_image(tri_data, gbuf.visibility), cfg
+        )
+        noisy = atrous.demodulate(noisy, demod_s)
     normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
     if cfg.variance_guided:
         # SVGF extension (config.py): moments reprojected with the same
@@ -179,6 +186,9 @@ def render_frame_impl(
         frame=frame_idx + 1,
         moments=moments,
     )
+    if cfg.demodulate_albedo:
+        # display radiance; history stays demodulated
+        return atrous.modulate(rgb, demod_s), new_history
     return rgb, new_history
 
 
@@ -201,6 +211,7 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         light.position, history.light_pos, light.color, history.light_color,
         view, proj, history.view, history.proj, cfg,
         interpret=interpret, planar=True, rotation=camera.rotation,
+        emit_albedo=cfg.demodulate_albedo,
     )
     if pt_mod.trace_needs_streaming(tri_data):
         # beyond-SMEM scenes: wavefront tracer (per-segment kernels +
@@ -219,6 +230,9 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
             tri_data, camera.position, light, frame_idx, cfg,
             interpret=interpret, planar=True, rotation=camera.rotation,
         )
+    if cfg.demodulate_albedo:
+        demod_s = atrous.demod_scale(geo.albedo, cfg)
+        noisy = tuple(atrous.demodulate(c, demod_s) for c in noisy)
     if cfg.variance_guided:
         moments, var = atrous.accumulate_moments(
             atrous.luminance_planes(*noisy), history.moments,
@@ -247,6 +261,9 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         frame=frame_idx + 1,
         moments=moments,
     )
+    if cfg.demodulate_albedo:
+        # display radiance; history stays demodulated
+        return atrous.modulate(rgb, demod_s), new_history
     return rgb, new_history
 
 

@@ -289,3 +289,24 @@ def test_sharded_frame_orbit_then_cut(cornell_tri_data):
         np.testing.assert_allclose(
             np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
         )
+
+
+@requires_8
+def test_sharded_frame_demodulated(cornell_tri_data):
+    """SVGF albedo demodulation is per-pixel: the sharded frame must stay
+    numerically identical to single-chip with it enabled (display output
+    is re-modulated; history is carried in irradiance space)."""
+    cfg = dataclasses.replace(CFG, demodulate_albedo=True, variance_guided=True)
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    cam, light = Camera.default(), Light.default()
+    for _ in range(2):
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+    )
