@@ -144,7 +144,16 @@ def main():
         "--nee", action="store_true",
         help="also measure with next-event estimation (variance-guided)",
     )
+    parser.add_argument(
+        "--cpu", action="store_true", help="force the CPU backend"
+    )
     args = parser.parse_args()
+    if args.cpu:
+        # set the config directly BEFORE any package import: the package's
+        # module-scope jnp constants would initialize the default backend
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     modes = [(False, 0, False, False)] if args.skip_variance else [
         (False, 0, False, False), (True, 0, False, False)
     ]

@@ -40,9 +40,17 @@ def main():
     p.add_argument("--wavefront-only", action="store_true")
     p.add_argument("--rr-start-bounce", type=int, default=0,
                    help="Russian roulette from this bounce (non-parity)")
+    p.add_argument("--hdr-lanes", action="store_true",
+                   help="lane-parallel sub-block header walk (A/B knob; "
+                   "bit-identical output)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
@@ -106,7 +114,8 @@ def main():
 
             wf = jax.jit(
                 lambda: wf_mod.path_trace_wavefront(
-                    td, cam.position, light, 1, cfg
+                    td, cam.position, light, 1, cfg,
+                    hdr_lanes=args.hdr_lanes or None,
                 )[..., 0]
             )
             try:

@@ -152,9 +152,17 @@ def run_suite(quick: bool):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--cpu", action="store_true", help="force the CPU backend"
+    )
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        # before any package import (module-scope jnp constants would
+        # initialize the default backend)
+        jax.config.update("jax_platforms", "cpu")
 
     platform = jax.devices()[0].platform
     results = run_suite(args.quick)

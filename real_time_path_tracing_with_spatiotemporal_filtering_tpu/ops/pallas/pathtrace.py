@@ -744,14 +744,31 @@ def nsub_for(csize: int) -> int:
     return min(NSUB, csize)
 
 
-def assemble_stream_table(table_cols, sub_aabbs, num_clusters, csize):
-    """Interleave the nsub-row sub-AABB header before each cluster's rows.
+# Rows of the transposed (lane-parallel) header block: component r of
+# sub-block sb lives at [r, sb], r in 0..5 = lox loy loz hix hiy hiz.
+# 8 rows keep every DMA slice 8-aligned (Mosaic row-slice rule).
+HDR_ROWS = 8
+
+
+def assemble_stream_table(
+    table_cols, sub_aabbs, num_clusters, csize, hdr_lanes=False
+):
+    """Interleave the sub-AABB header block before each cluster's rows.
 
     ``table_cols``: (num_clusters*csize, COLS) column-padded table.
     ``sub_aabbs``: (num_clusters*nsub_for(csize), 6) from build_hierarchy /
     pack_geometry_clusters, or None for conservative always-test headers
     (a [-3e37, 3e37] universe box per sub-block = pre-header behavior).
-    Returns (num_clusters*(csize+nsub), COLS)."""
+
+    ``hdr_lanes=False`` (row-major): the header is nsub rows, sub-block sb's
+    box in row sb cols 0:6, read scalarly by the per-sub-block whole-tile
+    slab test. Returns (num_clusters*(csize+nsub), COLS).
+
+    ``hdr_lanes=True`` (lane-parallel): the header is HDR_ROWS rows with
+    component r of sub-block sb at [r, sb] -- all nsub boxes load as six
+    (1, COLS) vector rows so ONE interval slab test covers every sub-block
+    (see _ordered_stream_loop). Requires COLS >= nsub. Returns
+    (num_clusters*(HDR_ROWS+csize), COLS)."""
     cols = int(table_cols.shape[1])
     nsub = nsub_for(csize)
     if sub_aabbs is None:
@@ -761,6 +778,16 @@ def assemble_stream_table(table_cols, sub_aabbs, num_clusters, csize):
         )
     else:
         hdr6 = jnp.asarray(sub_aabbs, jnp.float32)
+    if hdr_lanes:
+        assert cols >= nsub, "lane-parallel headers need COLS >= nsub"
+        hdr_t = jnp.transpose(
+            hdr6.reshape(num_clusters, nsub, 6), (0, 2, 1)
+        )  # (C, 6, nsub)
+        hdr = jnp.zeros((num_clusters, HDR_ROWS, cols), jnp.float32)
+        hdr = hdr.at[:, :6, :nsub].set(hdr_t)
+        return jnp.concatenate(
+            [hdr, table_cols.reshape(num_clusters, csize, cols)], axis=1
+        ).reshape(num_clusters * (HDR_ROWS + csize), cols)
     hdr = jnp.concatenate(
         [hdr6, jnp.zeros((num_clusters * nsub, cols - 6), jnp.float32)],
         axis=1,
@@ -799,13 +826,32 @@ def _slab_test(aabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz):
     return tmin, tmax >= jnp.maximum(tmin, 0.0)
 
 
+def _lane_mask_words16(mask, n):
+    """Pack an (1, L) bool lane mask into ceil(n/16) int32 scalars, 16
+    lanes per word (lane sb -> bit sb & 15 of word sb >> 4).
+
+    Mosaic-safe by construction: no vector shifts by vector amounts, no
+    dynamic-lane reads -- powers of two are assembled exactly as float32
+    exponent bits ((k+127)<<23 bitcast to f32 = 2^k; jnp.exp2 is an
+    APPROXIMATION on some backends: exp2(15) -> 32767.998 -> 32767) and
+    each word is one masked whole-vector sum reduce."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+    p2 = jax.lax.bitcast_convert_type(
+        ((lane & 15) + 127) << 23, jnp.float32
+    ).astype(jnp.int32)
+    return [
+        jnp.sum(jnp.where(mask & ((lane >> 4) == w), p2, 0))
+        for w in range((n + 15) // 16)
+    ]
+
+
 def _ordered_stream_loop(
     table_ref, caabb_ref, saabb_ref,
     num_clusters, csize, num_supers, ssize,
     ox, oy, oz, dx, dy, dz, alive, inv_diam,
     row_fn, init_state,
     bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
-    counters=None,
+    counters=None, hdr=None,
 ):
     """Streamed nearest-hit traversal in approximate front-to-back order.
 
@@ -826,10 +872,25 @@ def _ordered_stream_loop(
          and their rows run in one dynamic-trip loop, cond-free.
 
     ``table_ref`` must be laid out by :func:`assemble_stream_table`: each
-    cluster's block is an nsub_for(csize)-row sub-AABB header followed by
-    its csize table rows (the DMA buffers are (csize+nsub, COLS)).
+    cluster's block is a sub-AABB header followed by its csize table rows.
+    With ``hdr=None`` the header is row-major (nsub rows; DMA buffers are
+    SMEM (csize+nsub, COLS)) and each sub-block gets its own whole-tile
+    slab test -- nsub sequential tests of ~18 vector ops x tile vregs each,
+    the measured hot phase at Sponza scale (docs/DESIGN_ROUND3.md
+    section 1). With ``hdr=(hbuf0, hbuf1, hsem0, hsem1)`` (two VMEM
+    (HDR_ROWS, COLS) scratch buffers + DMA semaphores) the table must be
+    assembled with ``hdr_lanes=True``: each cluster's boxes stream as six
+    component ROWS (sub-blocks in lanes) and ONE conservative
+    interval-arithmetic slab test of the tile's ray bundle (origin box x
+    inv-direction interval, reduced once per call) covers all nsub
+    sub-blocks in ~80 single-vreg ops. The interval test bounds every live
+    lane's per-axis entry/exit, so any sub-block that any exact per-lane
+    test would run also passes the bundle test -- it can only run MORE
+    rows, and row tests never change a committed hit (strict < plus
+    validity in _pair_test), keeping the output bit-identical.
     ``row_fn(buf_ref, r, state) -> state`` consumes one table row from the
-    active SMEM buffer; ``state[0]`` must be the per-lane best hit t.
+    active SMEM buffer (``r`` includes the nsub header offset only in
+    row-major mode); ``state[0]`` must be the per-lane best hit t.
     ``counters`` (optional (8,) int32 SMEM ref, pre-zeroed) collects
     traversal statistics without touching the computed state:
     [0] visited clusters, [1] super groups passed, [2] cluster row phases
@@ -934,26 +995,62 @@ def _ordered_stream_loop(
 
     # --- phase C: pipelined DMA walk, near bins first ---
     nsub = nsub_for(csize)
-    block = csize + nsub  # nsub-row sub-AABB header + csize table rows
+    hdr_lanes = hdr is not None
+    if hdr_lanes:
+        hbuf0, hbuf1, hsem0, hsem1 = hdr
+        block = HDR_ROWS + csize  # transposed header block + table rows
+        # ray-bundle intervals, reduced ONCE per call: per axis the live
+        # lanes' [origin min, origin max, inv-dir min, inv-dir max]. A
+        # mixed-sign direction axis (tile straddling an octant boundary)
+        # just widens the inv interval -- still conservative.
+        pos_f = jnp.float32(3.4e38)
+        neg_f = jnp.float32(-3.4e38)
+        bundle = tuple(
+            (
+                jnp.min(jnp.where(alive, o, pos_f)),
+                jnp.max(jnp.where(alive, o, neg_f)),
+                jnp.min(jnp.where(alive, iv, pos_f)),
+                jnp.max(jnp.where(alive, iv, neg_f)),
+            )
+            for o, iv in ((ox, inv_dx), (oy, inv_dy), (oz, inv_dz))
+        )
+    else:
+        hbuf0 = hbuf1 = hsem0 = hsem1 = None
+        block = csize + nsub  # nsub-row sub-AABB header + csize table rows
     k_rows = csize // nsub  # rows per sub-block
     cmask = jnp.int32(0xFFFF)
 
-    def dma(k, buf, sem):
+    def dma(k, buf, sem, hbuf, hsem):
         c = ids_ref[k] & cmask
-        return pltpu.make_async_copy(
-            table_ref.at[pl.ds(c * block, block), :], buf, sem
+        if hdr_lanes:
+            base = c * block
+            return (
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(base, HDR_ROWS), :], hbuf, hsem
+                ),
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(base + HDR_ROWS, csize), :], buf, sem
+                ),
+            )
+        return (
+            pltpu.make_async_copy(
+                table_ref.at[pl.ds(c * block, block), :], buf, sem
+            ),
         )
 
     @pl.when(total > 0)
     def _():
-        dma(0, buf0, sem0).start()
+        for cp in dma(0, buf0, sem0, hbuf0, hsem0):
+            cp.start()
 
     @pl.when(total > 1)
     def _():
-        dma(1, buf1, sem1).start()
+        for cp in dma(1, buf1, sem1, hbuf1, hsem1):
+            cp.start()
 
-    def slot(k, buf, sem, state):
-        dma(k, buf, sem).wait()
+    def slot(k, buf, sem, hbuf, hsem, state):
+        for cp in dma(k, buf, sem, hbuf, hsem):
+            cp.wait()
         e = ids_ref[k]
         c = e & cmask
         best = state[0]
@@ -961,6 +1058,67 @@ def _ordered_stream_loop(
         lb = (e >> 16).astype(jnp.float32) * bin_w
         tmin, ok = _slab_test(caabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz)
         near = alive & ok & (tmin < best)
+
+        def run_hdr_lanes(s):
+            # ONE interval slab test covers all nsub sub-blocks: boxes sit
+            # in lanes (six component rows from the VMEM header), rays are
+            # the per-call bundle. For every live lane r and sub-block sb:
+            # tmin_lo[sb] <= tmin_r[sb] and tmax_hi[sb] >= tmax_r[sb], so
+            # each exact per-lane pass implies a bundle pass (superset;
+            # extra rows never change the committed hit). Pass ids compact
+            # into cnt_ref via 16-bit mask words -- no dynamic-lane reads,
+            # no per-sub-block conds.
+            best0 = s[0]
+            best_mx = jnp.max(jnp.where(alive, best0, neg_f))
+            cols = hbuf.shape[1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+            tmin_lo = jnp.full((1, cols), neg_f, jnp.float32)
+            tmax_hi = jnp.full((1, cols), pos_f, jnp.float32)
+            for ax in range(3):
+                o_l, o_h, i_l, i_h = bundle[ax]
+                lo_c = hbuf[ax:ax + 1, :]
+                hi_c = hbuf[ax + 3:ax + 4, :]
+                a_l = lo_c - o_h
+                a_h = lo_c - o_l
+                b_l = hi_c - o_h
+                b_h = hi_c - o_l
+                p1, p2 = a_l * i_l, a_l * i_h
+                p3, p4 = a_h * i_l, a_h * i_h
+                t0_l = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+                t0_h = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+                q1, q2 = b_l * i_l, b_l * i_h
+                q3, q4 = b_h * i_l, b_h * i_h
+                t1_l = jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4))
+                t1_h = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+                tmin_lo = jnp.maximum(tmin_lo, jnp.minimum(t0_l, t1_l))
+                tmax_hi = jnp.minimum(tmax_hi, jnp.maximum(t0_h, t1_h))
+            ok_m = (
+                (lane < nsub)
+                & (tmax_hi >= jnp.maximum(tmin_lo, 0.0))
+                & (tmin_lo < best_mx)
+            )
+            words = _lane_mask_words16(ok_m, nsub)
+            n_pass = jnp.int32(0)
+            for sb in range(nsub):
+                bit = (words[sb >> 4] >> (sb & 15)) & 1
+
+                @pl.when(bit == 1)
+                def _():
+                    cnt_ref[n_pass] = sb
+
+                n_pass = n_pass + bit
+            if counters is not None:
+                counters[4] = counters[4] + n_pass
+
+            def sub_run(i, s2):
+                sb_i = cnt_ref[i]
+
+                def body(j, s3):
+                    return row_fn(buf, sb_i * k_rows + j, s3)
+
+                return jax.lax.fori_loop(0, k_rows, body, s2)
+
+            return jax.lax.fori_loop(0, n_pass, sub_run, s)
 
         def run(s):
             # Header-test all nsub sub-blocks up front against the
@@ -1045,22 +1203,28 @@ def _ordered_stream_loop(
             def _():
                 counters[6] = counters[6] + 1
 
-        state = jax.lax.cond(run_c, run, lambda s: s, state)
+        state = jax.lax.cond(
+            run_c, run_hdr_lanes if hdr_lanes else run, lambda s: s, state
+        )
 
         @pl.when(k + 2 < total)
         def _():
-            dma(k + 2, buf, sem).start()
+            for cp in dma(k + 2, buf, sem, hbuf, hsem):
+                cp.start()
 
         return state
 
     def body2(kk, state):
         k0 = 2 * kk
         state = jax.lax.cond(
-            k0 < total, lambda s: slot(k0, buf0, sem0, s), lambda s: s, state
+            k0 < total,
+            lambda s: slot(k0, buf0, sem0, hbuf0, hsem0, s),
+            lambda s: s,
+            state,
         )
         state = jax.lax.cond(
             k0 + 1 < total,
-            lambda s: slot(k0 + 1, buf1, sem1, s),
+            lambda s: slot(k0 + 1, buf1, sem1, hbuf1, hsem1, s),
             lambda s: s,
             state,
         )

@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+    HDR_ROWS,
     NBINS,
     PAIR_COLS,
     TILE_H,
@@ -52,6 +53,11 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtra
     nsub_for,
     scene_bounds_from_clusters,
 )
+
+# Default sub-block header walk for the wavefront tracer; flipped by the
+# hardware A/B (benchmarks/scaling.py --hdr-lanes). False = row-major
+# per-sub-block whole-tile slab tests (round-2 behavior).
+DEFAULT_HDR_LANES = False
 
 _U = jnp.uint32
 _LANES = TILE_H * TILE_W  # rays per kernel program
@@ -208,24 +214,32 @@ def _scene_bounds(cluster_aabbs):
 def _wavefront_kernel(
     fparams_ref, iparams_ref, table_ref, caabb_ref, saabb_ref,
     *refs, cfg, num_clusters, csize, num_supers, ssize, collect_stats=False,
+    hdr_lanes=False,
 ):
     """One bounce segment over a (TILE_H, TILE_W) block of sorted rays.
 
     ``refs`` is 14 input planes, 14 output planes, an optional (1, 128)
     int32 stats output (when ``collect_stats``), then the traversal
-    scratch refs (bins, ids, cnt, two DMA buffers + semaphores, and the
-    (8,) counters ref when ``collect_stats``)."""
+    scratch refs (bins, ids, cnt, two DMA buffers + semaphores, the two
+    VMEM header buffers + semaphores when ``hdr_lanes``, and the (8,)
+    counters ref when ``collect_stats``)."""
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
      tpr_r, tpg_r, tpb_r, rsr_r, rsg_r, rsb_r, st_r, al_r) = refs[:14]
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
      o_tpr, o_tpg, o_tpb, o_rsr, o_rsg, o_rsb, o_st, o_al) = refs[14:28]
     if collect_stats:
         o_stats = refs[28]
-        (bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
-         counters) = refs[29:]
+        rest = refs[29:]
     else:
-        bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1 = refs[28:]
-        counters = None
+        rest = refs[28:]
+    bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1 = rest[:7]
+    rest = rest[7:]
+    if hdr_lanes:
+        hdr = tuple(rest[:4])
+        rest = rest[4:]
+    else:
+        hdr = None
+    counters = rest[0] if collect_stats else None
     lx, ly, lz = fparams_ref[0], fparams_ref[1], fparams_ref[2]
     hdr_r, hdr_g, hdr_b = fparams_ref[3], fparams_ref[4], fparams_ref[5]
     radius = fparams_ref[6]
@@ -286,7 +300,7 @@ def _wavefront_kernel(
             ox, oy, oz, dx, dy, dz, alive, inv_diam,
             row, init,
             bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
-            counters=counters,
+            counters=counters, hdr=hdr,
         )
         best_t, hit = o_s[0], o_s[1] != 0
         shaded = _shade_segment(
@@ -319,6 +333,7 @@ def _wavefront_kernel(
                 ox, oy, oz, wlx, wly, wlz, nmask, inv_diam,
                 srow, sinit,
                 bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+                hdr=hdr,
             )
             lit = nmask & (s_o[1] == 0)
             res_r = res_r + jnp.where(lit, bk_r, jnp.float32(0.0))
@@ -385,6 +400,7 @@ def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
     collect_stats=False, sort_mode=DEFAULT_SORT_MODE, tile_w=None,
+    hdr_lanes=None,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
@@ -393,6 +409,11 @@ def path_trace_wavefront(
     Returns (rows, W, 3) radiance (or three planes when ``planar``),
     bit-identical to the megakernel.
 
+    ``hdr_lanes`` selects the lane-parallel sub-block header walk (one
+    interval slab test over all nsub headers vs nsub sequential whole-tile
+    tests; see _ordered_stream_loop). Output is bit-identical either way;
+    None takes the module default (DEFAULT_HDR_LANES).
+
     ``collect_stats`` (probe mode, 1 spp only): additionally returns a
     list with one (num_tiles, 8) int32 array per executed bounce segment
     holding the traversal counters documented on _ordered_stream_loop;
@@ -400,6 +421,8 @@ def path_trace_wavefront(
     not production."""
     h = cfg.height if rows is None else rows
     w = cfg.width
+    if hdr_lanes is None:
+        hdr_lanes = DEFAULT_HDR_LANES
     pair_table = tri_data.pair_table
     cluster_aabbs = tri_data.cluster_aabbs
     super_aabbs = tri_data.super_aabbs
@@ -426,7 +449,8 @@ def path_trace_wavefront(
         axis=1,
     )
     table = assemble_stream_table(
-        table, getattr(tri_data, "sub_aabbs", None), num_clusters, csize
+        table, getattr(tri_data, "sub_aabbs", None), num_clusters, csize,
+        hdr_lanes=hdr_lanes,
     )
     if super_aabbs is None:
         super_aabbs = jnp.zeros((1, 6), jnp.float32)
@@ -489,6 +513,7 @@ def path_trace_wavefront(
             _wavefront_kernel, cfg=cfg,
             num_clusters=num_clusters, csize=csize,
             num_supers=num_supers, ssize=ssize, collect_stats=stats,
+            hdr_lanes=hdr_lanes,
         )
         out_shape = (
             [jax.ShapeDtypeStruct(plane_shape, f32)] * 12
@@ -498,15 +523,25 @@ def path_trace_wavefront(
             ]
         )
         out_specs = [plane_spec] * 14
+        # lane-parallel mode splits each cluster DMA: rows -> SMEM,
+        # transposed header block -> VMEM (vector-readable)
+        smem_rows = csize if hdr_lanes else csize + nsub_for(csize)
         scratch = [
             pltpu.SMEM((num_clusters,), jnp.int32),
             pltpu.SMEM((num_clusters,), jnp.int32),
             pltpu.SMEM((NBINS,), jnp.int32),
-            pltpu.SMEM((csize + nsub_for(csize), 128), f32),
-            pltpu.SMEM((csize + nsub_for(csize), 128), f32),
+            pltpu.SMEM((smem_rows, 128), f32),
+            pltpu.SMEM((smem_rows, 128), f32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
+        if hdr_lanes:
+            scratch += [
+                pltpu.VMEM((HDR_ROWS, 128), f32),
+                pltpu.VMEM((HDR_ROWS, 128), f32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ]
         if stats:
             out_shape.append(
                 jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32)

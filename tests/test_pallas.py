@@ -469,6 +469,82 @@ def test_wavefront_exit_clamp_open_scene():
     np.testing.assert_allclose(mega, wf, rtol=0, atol=1e-6)
 
 
+def test_wavefront_hdr_lanes_bit_parity():
+    """The lane-parallel sub-block header walk (transposed header block,
+    split hdr/rows DMA, ONE interval-bundle slab test over all nsub
+    sub-blocks) must be bit-identical to the row-major per-sub-block walk:
+    the bundle test is a conservative superset (every sub-block any exact
+    per-lane test would run also passes), and extra rows never change a
+    committed hit. Covered on a closed scene, an open soup (miss-heavy:
+    exercises the mixed-sign direction intervals), and with NEE shadow
+    walks (a second traversal with a capped initial best)."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
+        path_trace_wavefront,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    closed = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(6))
+    )
+    soup = precompute_triangle_data(
+        Scene.from_arrays(*procedural.random_soup(600, seed=3, extent=2.0))
+    )
+    cam, light = Camera.default(), Light.default()
+    cases = [
+        (closed, dataclasses.replace(CFG, width=48, height=32, max_bounces=6)),
+        (soup, dataclasses.replace(CFG, width=48, height=32, max_bounces=4)),
+        (
+            closed,
+            dataclasses.replace(
+                CFG, width=48, height=32, max_bounces=4, nee=True
+            ),
+        ),
+    ]
+    for td, cfg in cases:
+        assert td.cluster_aabbs is not None
+        base = np.asarray(
+            path_trace_wavefront(
+                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
+                hdr_lanes=False,
+            )
+        )
+        lanes = np.asarray(
+            path_trace_wavefront(
+                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
+                hdr_lanes=True,
+            )
+        )
+        np.testing.assert_array_equal(base, lanes)
+
+
+def test_lane_mask_words16_exact():
+    """The 16-bit mask packing must be exact for every bit position --
+    jnp.exp2 is approximate on some backends (exp2(15) -> 32767.998 ->
+    truncates to 32767, silently corrupting EVERY word), which is why the
+    powers of two are assembled as float32 exponent bits."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+        _lane_mask_words16,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (16, 32, 64):
+        for _ in range(4):
+            m = rng.random((1, 128)) < 0.4
+            m[:, n:] = False
+            words = [int(w) for w in _lane_mask_words16(jnp.asarray(m), n)]
+            expect = [
+                sum(1 << (i & 15) for i in range(w * 16, w * 16 + 16) if m[0, i])
+                for w in range((n + 15) // 16)
+            ]
+            assert words == expect
+
+
 def test_wavefront_collect_stats_is_invariant():
     """The collect_stats probe path (python segment loop + counters) must
     return the production radiance bit-for-bit, and its counters must

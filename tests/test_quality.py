@@ -90,6 +90,22 @@ def test_quality_bar_variance_guided():
     assert improvement >= 2.0, f"improvement regressed: {improvement:.2f}x"
 
 
+def test_quality_bar_albedo_demod():
+    """Variance-guided SVGF filtering irradiance (albedo demodulation):
+    measured 0.151 denoised / 2.31x at 128px (1024-spp truth, 32 frames,
+    2026-08-18) vs 0.160 for variance-guided filtering of radiance. Bars
+    leave headroom for sampling noise at the CI's 192-spp truth."""
+    from benchmarks.quality import run
+
+    stats = run(
+        size=128, spp=192, frames=20, variance_guided=True, demodulate=True
+    )
+    denoised = stats["rmse_denoised"]
+    improvement = stats["rmse_noisy_1spp"] / max(denoised, 1e-12)
+    assert denoised <= 0.17, f"denoised rMSE regressed: {denoised:.4f}"
+    assert improvement >= 2.05, f"improvement regressed: {improvement:.2f}x"
+
+
 def test_quality_bar_nee():
     """NEE + variance-guided: the framework's best-quality estimator.
     Measured 0.043 denoised / 5.2x at 128px (512-spp truth, 2026-08-18);
