@@ -284,6 +284,9 @@ def _geometry_epilogue(
 
 GEO_CLUSTER_MIN_TRIS = 2048  # below this the dense kernel is cheaper
 GEO_STREAM_COLS = 128        # HBM row width (Mosaic lane-dim DMA alignment)
+# Default sub-block header walk for the streamed geometry kernel (see
+# pathtrace._ordered_stream_loop): flipped by the hardware A/B.
+GEO_DEFAULT_HDR_LANES = False
 # row layout: [0:21 pack_triangles | 21:30 current verts | 30 primID+1 |
 #              31:40 previous verts | 40:128 zero pad]
 _GEO_STATIC_COLS = 31
@@ -377,11 +380,13 @@ def _geometry_clustered_kernel(
     out_vis, out_depth, out_nx, out_ny, out_nz,
     out_lam, out_py, out_px, out_wx, out_wy, out_wz,
     *rest, cfg, num_clusters, csize, num_supers, ssize, emit_albedo=False,
+    hdr_lanes=False,
 ):
     if emit_albedo:
         out_ar, out_ag, out_ab = rest[:3]
         rest = rest[3:]
-    bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1 = rest
+    bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1 = rest[:7]
+    hdr = tuple(rest[7:11]) if hdr_lanes else None
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
         _ordered_stream_loop,
     )
@@ -463,6 +468,7 @@ def _geometry_clustered_kernel(
         fparams_ref[44],
         tri_body, init,
         bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+        hdr=hdr,
     )
 
     best_t, hit_i, vis = out[0], out[1], out[2]
@@ -493,7 +499,7 @@ def geometry_pass_pallas(
     tri_data, lut_prev, camera_pos, light_pos, light_pos_prev,
     light_color, light_color_prev, view, proj, view_prev, proj_prev, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
-    emit_albedo=False,
+    emit_albedo=False, hdr_lanes=None,
 ) -> GeometryBuffers:
     """Fused G-buffer + gradient + backprojection pass.
 
@@ -590,9 +596,11 @@ def geometry_pass_pallas(
             ],
             axis=1,
         )
+        if hdr_lanes is None:
+            hdr_lanes = GEO_DEFAULT_HDR_LANES
         table = assemble_stream_table(
             table, getattr(tri_data, "geo_sub_aabbs", None),
-            num_clusters, csize,
+            num_clusters, csize, hdr_lanes=hdr_lanes,
         )
         caabb = tri_data.geo_cluster_aabbs
         saabb = tri_data.geo_super_aabbs
@@ -610,7 +618,33 @@ def geometry_pass_pallas(
             _geometry_clustered_kernel, cfg=cfg,
             num_clusters=num_clusters, csize=csize,
             num_supers=num_supers, ssize=ssize, emit_albedo=emit_albedo,
+            hdr_lanes=hdr_lanes,
         )
+        smem_rows = csize if hdr_lanes else csize + nsub_for(csize)
+        scratch = [
+            # SMEM: the triangle loop is scalar-read bound and SMEM
+            # reads are ~2x cheaper than VMEM (v5e measurement). Two
+            # DMA buffers keep one cluster copy in flight behind the
+            # active cluster's triangle loop (_ordered_stream_loop).
+            pltpu.SMEM((num_clusters,), jnp.int32),
+            pltpu.SMEM((num_clusters,), jnp.int32),
+            pltpu.SMEM((pt_NBINS,), jnp.int32),
+            pltpu.SMEM((smem_rows, GEO_STREAM_COLS), f32),
+            pltpu.SMEM((smem_rows, GEO_STREAM_COLS), f32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        if hdr_lanes:
+            from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtrace import (
+                HDR_ROWS,
+            )
+
+            scratch += [
+                pltpu.VMEM((HDR_ROWS, GEO_STREAM_COLS), f32),
+                pltpu.VMEM((HDR_ROWS, GEO_STREAM_COLS), f32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -624,19 +658,7 @@ def geometry_pass_pallas(
             ],
             out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))] * n_out,
             out_shape=out_shape,
-            scratch_shapes=[
-                # SMEM: the triangle loop is scalar-read bound and SMEM
-                # reads are ~2x cheaper than VMEM (v5e measurement). Two
-                # DMA buffers keep one cluster copy in flight behind the
-                # active cluster's triangle loop (_ordered_stream_loop).
-                pltpu.SMEM((num_clusters,), jnp.int32),
-                pltpu.SMEM((num_clusters,), jnp.int32),
-                pltpu.SMEM((pt_NBINS,), jnp.int32),
-                pltpu.SMEM((csize + nsub_for(csize), GEO_STREAM_COLS), f32),
-                pltpu.SMEM((csize + nsub_for(csize), GEO_STREAM_COLS), f32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(fparams, iparams, table, caabb.reshape(-1), saabb.reshape(-1))
     else:

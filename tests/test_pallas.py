@@ -523,6 +523,47 @@ def test_wavefront_hdr_lanes_bit_parity():
         np.testing.assert_array_equal(base, lanes)
 
 
+def test_geometry_hdr_lanes_bit_parity():
+    """The streamed geometry kernel's lane-parallel header walk must be
+    bit-identical to the row-major walk across every G-buffer plane
+    (primary rays are the most bundle-coherent case: one shared origin)."""
+    import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+        geometry as geo,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline import (
+        frame as frame_mod,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+
+    cfg = dataclasses.replace(CFG, width=64, height=48)
+    td = ptsf.precompute_triangle_data(
+        ptsf.Scene.from_arrays(*procedural.subdivided_cornell(12))
+    )
+    assert getattr(td, "geo_static", None) is not None
+    cam, light = Camera.default(), Light.default()
+    view, proj = frame_mod.camera_matrices(cam, cfg)
+    outs = [
+        geo.geometry_pass_pallas(
+            td, td.lut, cam.position, light.position, light.position,
+            light.color, light.color, view, proj, view, proj, cfg,
+            interpret=True, emit_albedo=True, hdr_lanes=hl,
+        )
+        for hl in (False, True)
+    ]
+    a, b = outs
+    for name in (
+        "visibility", "depth", "normal", "lam", "prev_y", "prev_x",
+        "world_pos", "albedo",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name,
+        )
+
+
 def test_lane_mask_words16_exact():
     """The 16-bit mask packing must be exact for every bit position --
     jnp.exp2 is approximate on some backends (exp2(15) -> 32767.998 ->
