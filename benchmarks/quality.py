@@ -66,6 +66,7 @@ def run(
     rr_start_bounce: int = 0,
     nee: bool = False,
     demodulate: bool = False,
+    ramp: bool = False,
 ):
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
@@ -82,6 +83,7 @@ def run(
         variance_guided=variance_guided or demodulate,
         rr_start_bounce=rr_start_bounce, nee=nee,
         demodulate_albedo=demodulate,
+        accumulation_ramp=ramp,
     )
     scene = ptsf.Scene.cornell_box()
     td = precompute_triangle_data(scene)
@@ -145,6 +147,11 @@ def main():
         help="also measure with next-event estimation (variance-guided)",
     )
     parser.add_argument(
+        "--ramp", action="store_true",
+        help="also measure with the SVGF accumulation ramp "
+        "(per-pixel history length, alpha floor ramp_alpha_min)",
+    )
+    parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend"
     )
     args = parser.parse_args()
@@ -154,21 +161,23 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    modes = [(False, 0, False, False)] if args.skip_variance else [
-        (False, 0, False, False), (True, 0, False, False)
+    modes = [(False, 0, False, False, False)] if args.skip_variance else [
+        (False, 0, False, False, False), (True, 0, False, False, False)
     ]
     if args.rr_start_bounce:
-        modes.append((True, args.rr_start_bounce, False, False))
+        modes.append((True, args.rr_start_bounce, False, False, False))
     if args.nee:
-        modes.append((True, 0, True, False))
+        modes.append((True, 0, True, False, False))
     if args.demod:
         # demodulation requires the variance-normalized (scale-invariant)
         # luminance weight (config.py validation)
-        modes.append((True, 0, False, True))
-    for variance_guided, rr, nee, demod in modes:
+        modes.append((True, 0, False, True, False))
+    if args.ramp:
+        modes.append((True, 0, False, False, True))
+    for variance_guided, rr, nee, demod, ramp in modes:
         stats = run(
             args.size, args.spp, args.frames, variance_guided, rr, nee,
-            demodulate=demod,
+            demodulate=demod, ramp=ramp,
         )
         improvement = stats["rmse_noisy_1spp"] / max(
             stats["rmse_denoised"], 1e-12
@@ -180,6 +189,8 @@ def main():
             mode += " + NEE"
         if demod:
             mode += " + albedo demod"
+        if ramp:
+            mode += " + accumulation ramp"
         print(
             json.dumps(
                 {

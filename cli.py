@@ -36,6 +36,10 @@ def main() -> None:
                         help="SVGF albedo demodulation: filter irradiance "
                              "(color / primary-hit albedo), re-modulate "
                              "for display (extension; off = parity)")
+    parser.add_argument("--accumulation-ramp", action="store_true",
+                        help="SVGF accumulation ramp: per-pixel history "
+                        "length drives alpha = max(ramp_alpha_min, 1/N), "
+                        "gradient-reset (extension; off = parity)")
     parser.add_argument("--nee", action="store_true",
                         help="next-event estimation: explicit light "
                         "sampling with shadow rays (non-parity; much "
@@ -81,6 +85,7 @@ def main() -> None:
         adaptive_alpha=args.adaptive_alpha,
         variance_guided=args.variance_guided,
         demodulate_albedo=args.demodulate_albedo,
+        accumulation_ramp=args.accumulation_ramp,
         light_through_walls=not args.no_light_quirk,
         rr_start_bounce=args.rr_start_bounce,
         nee=args.nee,

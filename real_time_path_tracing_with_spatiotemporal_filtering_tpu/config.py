@@ -115,6 +115,20 @@ class RenderConfig:
     # default for parity (bit-identical when False).
     demodulate_albedo: bool = False
     demod_eps: float = 1e-3          # albedo-luminance division guard
+    # SVGF accumulation ramp (Schied et al. 2017 section 4: "we accumulate
+    # at most 32 frames ... alpha = max(1/N, 0.2)"): carry a per-pixel
+    # consecutive-history length N in History.age and blend with
+    # alpha = max(ramp_alpha_min, 1/N) instead of the fixed reference
+    # alpha. N resets to 1 where the A-SVGF temporal gradient flags a
+    # shading change (lam > ramp_reset_lam), so the deep accumulation the
+    # low floor enables stays responsive -- the reference's fixed
+    # alpha=0.3 caps the effective history at ~3 frames everywhere.
+    # Composes with adaptive_alpha (alpha' = (1-lam)*alpha + lam). Off by
+    # default for reference parity (bit-identical when False).
+    accumulation_ramp: bool = False
+    ramp_alpha_min: float = 0.1      # alpha floor (SVGF uses 0.2 over RT)
+    ramp_reset_lam: float = 0.5      # gradient level that resets history
+    ramp_age_cap: float = 1024.0     # guards 1/N float behavior, not quality
     moments_alpha: float = 0.2       # EMA weight of the current moments
     # For the first few frames the temporal variance estimate has too little
     # history; use a 5x5 spatial moment estimate instead (paper section 4.2).
@@ -169,6 +183,8 @@ class RenderConfig:
                 "fixed-sigma parity luminance weight is not invariant to "
                 "the demodulation rescale)"
             )
+        if self.accumulation_ramp and not (0.0 < self.ramp_alpha_min <= 1.0):
+            raise ValueError("ramp_alpha_min must be in (0, 1]")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto, xla or pallas")
 

@@ -256,6 +256,36 @@ def accumulate_moments(
     return m, var
 
 
+def accumulate_age(prev_age, prev_y, prev_x, lam, frame_idx, cfg, reproj=None):
+    """Per-pixel consecutive-history length N for the SVGF accumulation
+    ramp (cfg.accumulation_ramp; Schied et al. 2017 section 4). N follows
+    the reprojected history pixel, increments every frame, clamps at
+    cfg.ramp_age_cap, and resets to 1 where the A-SVGF temporal gradient
+    flags a shading change (lam > cfg.ramp_reset_lam) or on frame 0 --
+    the gradient plays the history-rejection role SVGF's depth/normal
+    consistency test plays over a rasterized G-buffer (the reference has
+    neither: fixed alpha, temporalFiltering.comp.glsl:243).
+
+    ``reproj``: pre-gathered previous age at (prev_y, prev_x) (sharded
+    mode passes the halo-exchanged gather)."""
+    if reproj is None:
+        reproj = _gather_aligned(prev_age, prev_y, prev_x)
+    n = jnp.minimum(reproj + 1.0, jnp.float32(cfg.ramp_age_cap))
+    n = jnp.where(lam > jnp.float32(cfg.ramp_reset_lam), jnp.float32(1.0), n)
+    return jnp.where(frame_idx > 0, n, jnp.float32(1.0))
+
+
+def ramp_alpha(age, lam, cfg):
+    """Blend weight of the CURRENT frame under the accumulation ramp:
+    alpha = max(ramp_alpha_min, 1/N) (fresh history replaces, deep history
+    averages ~1/alpha_min frames), composed with adaptive_alpha's gradient
+    blend when both are enabled. Returns (H, W, 1) for broadcasting."""
+    alpha = jnp.maximum(jnp.float32(cfg.ramp_alpha_min), 1.0 / age)
+    if cfg.adaptive_alpha:
+        alpha = (1.0 - lam) * alpha + lam
+    return alpha[..., None]
+
+
 def _gauss3(x, halo: int = 0):
     """3x3 [1/4, 1/2, 1/4]^2 gaussian, edge-clamped (the variance prefilter
     of SVGF eq. 5). Direct 9-tap sum -- the same accumulation order as the
@@ -359,7 +389,7 @@ def backproject_pixels(gbuf, lut_prev, view_prev, proj_prev, cfg, row_offset=0):
 
 def temporal_accumulate_at(
     filtered, prev_image, prev_y, prev_x, frame_idx, lam, cfg,
-    reprojected=None,
+    reprojected=None, age=None,
 ):
     """EMA blend with precomputed backprojection coordinates (the Pallas
     geometry kernel emits them); only the image gather + blend remain.
@@ -372,6 +402,10 @@ def temporal_accumulate_at(
     ``reprojected``: pre-gathered history at (prev_y, prev_x) -- sharded
     mode passes parallel.sharding.reproject_rows_sharded's result and
     ``prev_image`` is ignored.
+
+    ``age``: the CURRENT frame's accumulated history length
+    (:func:`accumulate_age`) when cfg.accumulation_ramp -- the blend then
+    uses alpha = max(ramp_alpha_min, 1/N) instead of the fixed ema_alpha.
     """
     h, w = prev_y.shape
     if reprojected is not None:
@@ -390,10 +424,13 @@ def temporal_accumulate_at(
         # sharded mode: prev_image is the all-gathered full-height frame
         # while the index planes are this shard's rows; plain gather.
         reprojected = prev_image[prev_y, prev_x]
-    alpha = jnp.float32(cfg.ema_alpha)
-    if cfg.adaptive_alpha:
-        alpha = (1.0 - lam) * alpha + lam
-        alpha = alpha[..., None]
+    if cfg.accumulation_ramp and age is not None:
+        alpha = ramp_alpha(age, lam, cfg)
+    else:
+        alpha = jnp.float32(cfg.ema_alpha)
+        if cfg.adaptive_alpha:
+            alpha = (1.0 - lam) * alpha + lam
+            alpha = alpha[..., None]
     blended = reprojected * (1.0 - alpha) + filtered * alpha
     return jnp.where(frame_idx > 0, blended, filtered)
 

@@ -47,7 +47,9 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.history i
 )
 
 
-def _history_spec(axis: str, variance_guided: bool = False) -> History:
+def _history_spec(
+    axis: str, variance_guided: bool = False, accumulation_ramp: bool = False
+) -> History:
     """PartitionSpec pytree for History: image planes row-sharded, scene/
     camera state replicated."""
     return History(
@@ -60,6 +62,7 @@ def _history_spec(axis: str, variance_guided: bool = False) -> History:
         light_color=P(),
         frame=P(),
         moments=P(axis) if variance_guided else None,
+        age=P(axis) if accumulation_ramp else None,
     )
 
 
@@ -161,6 +164,16 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
             gbuf, history_local.lut, history_local.view,
             history_local.proj, cfg, row_offset=row_offset,
         )
+    age = None
+    if cfg.accumulation_ramp:
+        # SVGF accumulation ramp: the age plane reprojects through the same
+        # windowed halo exchange as the color history.
+        reproj_age = reproject_rows_sharded(
+            history_local.age, py, px, row_offset, axis_name=axis
+        )
+        age = atrous.accumulate_age(
+            history_local.age, py, px, lam, frame_idx, cfg, reproj=reproj_age
+        )
     if cfg.variance_guided:
         reproj_moments = reproject_rows_sharded(
             history_local.moments, py, px, row_offset, axis_name=axis
@@ -200,7 +213,7 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
     )
     rgb = atrous.temporal_accumulate_at(
         c, history_local.image, py, px, frame_idx, lam, cfg,
-        reprojected=reproj_image,
+        reprojected=reproj_image, age=age,
     )
 
     new_history = History(
@@ -213,6 +226,7 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         light_color=light.color,
         frame=frame_idx + 1,
         moments=moments,
+        age=age,
     )
     if cfg.demodulate_albedo:
         # display radiance; history stays demodulated
@@ -237,7 +251,7 @@ def make_sharded_frame(cfg: RenderConfig, mesh, axis: str = ROW_AXIS):
             f"widest halo ({cfg.height // n} < {cfg.wavelet_iterations})"
         )
 
-    hist_spec = _history_spec(axis, cfg.variance_guided)
+    hist_spec = _history_spec(axis, cfg.variance_guided, cfg.accumulation_ramp)
     shard_fn = jax.shard_map(
         functools.partial(_frame_shard, cfg=cfg, axis=axis),
         mesh=mesh,
@@ -259,7 +273,7 @@ def init_sharded_history(tri_data, cfg: RenderConfig, mesh, axis: str = ROW_AXIS
     # explicit leaf predicate rather than tree_map'ing over both trees.
     leaves, treedef = jax.tree_util.tree_flatten(hist)
     specs = jax.tree_util.tree_leaves(
-        _history_spec(axis, cfg.variance_guided),
+        _history_spec(axis, cfg.variance_guided, cfg.accumulation_ramp),
         is_leaf=lambda x: isinstance(x, P),
     )
     placed = [

@@ -144,12 +144,21 @@ def render_frame_impl(
         )
         noisy = atrous.demodulate(noisy, demod_s)
     normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
-    if cfg.variance_guided:
-        # SVGF extension (config.py): moments reprojected with the same
-        # backprojection as the color history, variance-normalized w_l.
+    py = px = None
+    if cfg.variance_guided or cfg.accumulation_ramp:
         py, px = atrous.backproject_pixels(
             gbuf, history.lut, history.view, history.proj, cfg
         )
+    age = None
+    if cfg.accumulation_ramp:
+        # SVGF accumulation ramp (config.py): per-pixel history length,
+        # reprojected like the color history, gradient-reset.
+        age = atrous.accumulate_age(
+            history.age, py, px, lam, frame_idx, cfg
+        )
+    if cfg.variance_guided:
+        # SVGF extension (config.py): moments reprojected with the same
+        # backprojection as the color history, variance-normalized w_l.
         moments, var = atrous.accumulate_moments(
             atrous.luminance(noisy), history.moments, py, px, frame_idx, cfg
         )
@@ -157,22 +166,28 @@ def render_frame_impl(
             noisy, var, normal_img, gbuf.depth, cfg
         )
         rgb = atrous.temporal_accumulate_at(
-            filtered, history.image, py, px, frame_idx, lam, cfg
+            filtered, history.image, py, px, frame_idx, lam, cfg, age=age
         )
     else:
         moments = None
         filtered = atrous.atrous_filter(noisy, normal_img, gbuf.depth, cfg)
-        rgb = atrous.temporal_accumulate(
-            filtered,
-            history.image,
-            gbuf,
-            history.lut,
-            history.view,
-            history.proj,
-            frame_idx,
-            lam,
-            cfg,
-        )
+        if cfg.accumulation_ramp:
+            rgb = atrous.temporal_accumulate_at(
+                filtered, history.image, py, px, frame_idx, lam, cfg,
+                age=age,
+            )
+        else:
+            rgb = atrous.temporal_accumulate(
+                filtered,
+                history.image,
+                gbuf,
+                history.lut,
+                history.view,
+                history.proj,
+                frame_idx,
+                lam,
+                cfg,
+            )
 
     # -- history commit (the reference's end-of-frame blits, main.cpp:1361-72)
     new_history = History(
@@ -185,6 +200,7 @@ def render_frame_impl(
         light_color=light.color,
         frame=frame_idx + 1,
         moments=moments,
+        age=age,
     )
     if cfg.demodulate_albedo:
         # display radiance; history stays demodulated
@@ -246,10 +262,29 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         filtered = atrous_pl.atrous_filter_pallas(
             noisy, geo.normal, geo.depth, cfg, interpret=interpret
         )
-    rgb = atrous_pl.temporal_blend_pallas(
-        filtered, history.image, geo.prev_y, geo.prev_x, frame_idx, geo.lam,
-        cfg, interpret=interpret,
-    )
+    if cfg.accumulation_ramp:
+        # ramp mode routes the blend through the XLA path (per-pixel alpha
+        # from the accumulated age; the windowed Pallas blend kernel only
+        # knows the fixed/adaptive alpha) -- a quality mode, so the
+        # moving-camera gather cost is acceptable.
+        age = atrous.accumulate_age(
+            history.age, geo.prev_y, geo.prev_x, geo.lam, frame_idx, cfg
+        )
+        fil = (
+            jnp.stack(filtered, axis=-1)
+            if isinstance(filtered, tuple)
+            else filtered
+        )
+        rgb = atrous.temporal_accumulate_at(
+            fil, history.image, geo.prev_y, geo.prev_x, frame_idx, geo.lam,
+            cfg, age=age,
+        )
+    else:
+        age = None
+        rgb = atrous_pl.temporal_blend_pallas(
+            filtered, history.image, geo.prev_y, geo.prev_x, frame_idx,
+            geo.lam, cfg, interpret=interpret,
+        )
     new_history = History(
         image=rgb,
         visibility=geo.visibility,
@@ -260,6 +295,7 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         light_color=light.color,
         frame=frame_idx + 1,
         moments=moments,
+        age=age,
     )
     if cfg.demodulate_albedo:
         # display radiance; history stays demodulated
@@ -302,6 +338,11 @@ def init_history(tri_data: TriangleData, cfg: RenderConfig) -> History:
         moments=(
             jnp.zeros((cfg.height, cfg.width, 2), jnp.float32)
             if cfg.variance_guided
+            else None
+        ),
+        age=(
+            jnp.zeros((cfg.height, cfg.width), jnp.float32)
+            if cfg.accumulation_ramp
             else None
         ),
     )

@@ -36,6 +36,9 @@ class History:
     # variance-guided filtering; None unless cfg.variance_guided (the
     # reference has no equivalent -- SVGF extension, see config.py).
     moments: jnp.ndarray | None = None
+    # (H, W) per-pixel consecutive-history length N for the SVGF
+    # accumulation ramp; None unless cfg.accumulation_ramp (see config.py).
+    age: jnp.ndarray | None = None
 
     @property
     def height(self) -> int:

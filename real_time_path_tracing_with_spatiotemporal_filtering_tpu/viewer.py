@@ -66,6 +66,8 @@ def run_viewer(args) -> None:
     cfg = ptsf.RenderConfig(
         width=args.width, height=args.height,
         nee=args.nee, rr_start_bounce=args.rr_start_bounce,
+        variance_guided=args.ramp, accumulation_ramp=args.ramp,
+        adaptive_alpha=args.ramp,
     )
     scene = (
         ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))
@@ -135,6 +137,9 @@ def main() -> None:
                         help="next-event estimation (non-parity)")
     parser.add_argument("--rr-start-bounce", type=int, default=0,
                         help="Russian roulette from this bounce (0 = off)")
+    parser.add_argument("--ramp", action="store_true",
+                        help="best interactive quality: variance-guided "
+                        "SVGF + accumulation ramp + adaptive alpha")
     parser.add_argument("--no-preview", action="store_true")
     run_viewer(parser.parse_args())
 

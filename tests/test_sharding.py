@@ -292,6 +292,38 @@ def test_sharded_frame_orbit_then_cut(cornell_tri_data):
 
 
 @requires_8
+def test_sharded_frame_accumulation_ramp(cornell_tri_data):
+    """The SVGF accumulation ramp's age plane reprojects through the same
+    windowed halo exchange as the color history: sharded frames (with a
+    moving light forcing gradient resets) must match single-chip, age
+    plane included."""
+    cfg = dataclasses.replace(
+        CFG, variance_guided=True, accumulation_ramp=True
+    )
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    cam = Camera.default()
+    light = Light.default()
+    for i in range(3):
+        if i == 2:
+            light = dataclasses.replace(
+                light,
+                position=np.asarray(light.position) + np.float32([0.5, 0, 0]),
+            )
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+    np.testing.assert_array_equal(
+        np.asarray(hist_s.age), np.asarray(hist_ref.age)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_sharded_frame_demodulated(cornell_tri_data):
     """SVGF albedo demodulation is per-pixel: the sharded frame must stay
     numerically identical to single-chip with it enabled (display output
