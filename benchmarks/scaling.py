@@ -43,6 +43,9 @@ def main():
     p.add_argument("--hdr-lanes", action="store_true",
                    help="lane-parallel sub-block header walk (A/B knob; "
                    "bit-identical output)")
+    p.add_argument("--tile-w", type=int, default=None,
+                   help="wavefront tile width in lanes (A/B knob; "
+                   "multiple of 128, default 512)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     args = p.parse_args()
@@ -116,6 +119,7 @@ def main():
                 lambda: wf_mod.path_trace_wavefront(
                     td, cam.position, light, 1, cfg,
                     hdr_lanes=args.hdr_lanes or None,
+                    tile_w=args.tile_w,
                 )[..., 0]
             )
             try:

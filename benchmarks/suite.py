@@ -84,6 +84,14 @@ def run_suite(quick: bool):
         ("cornell_512_svgf_nee_nonparity", bench_renderer(cornell(cfg2nee), frames))
     )
 
+    # 2d. (extra, non-parity) same + the SVGF accumulation ramp: the
+    # per-pixel age plane adds one reprojected history plane and a
+    # per-pixel alpha -- tracks the feature's frame cost next to 2
+    cfg2ramp = dataclasses.replace(cfg2, accumulation_ramp=True)
+    results.append(
+        ("cornell_512_svgf_ramp_nonparity", bench_renderer(cornell(cfg2ramp), frames))
+    )
+
     # 3. orbiting camera, full A-SVGF with adaptive alpha, 1080p
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
         Camera,
