@@ -119,10 +119,13 @@ class RenderConfig:
     # at most 32 frames ... alpha = max(1/N, 0.2)"): carry a per-pixel
     # consecutive-history length N in History.age and blend with
     # alpha = max(ramp_alpha_min, 1/N) instead of the fixed reference
-    # alpha. N resets to 1 where the A-SVGF temporal gradient flags a
-    # shading change (lam > ramp_reset_lam), so the deep accumulation the
-    # low floor enables stays responsive -- the reference's fixed
-    # alpha=0.3 caps the effective history at ~3 frames everywhere.
+    # alpha. N resets to 1 where history is rejected: the A-SVGF temporal
+    # gradient flags a shading change (lam > ramp_reset_lam), or the
+    # backprojected history pixel saw a different primitive (visibility-id
+    # mismatch -- SVGF's G-buffer consistency test, covering camera
+    # cuts/disocclusions the gradient is blind to). Deep accumulation
+    # therefore stays responsive -- the reference's fixed alpha=0.3 caps
+    # the effective history at ~3 frames everywhere.
     # Composes with adaptive_alpha (alpha' = (1-lam)*alpha + lam). Off by
     # default for reference parity (bit-identical when False).
     accumulation_ramp: bool = False

@@ -256,22 +256,40 @@ def accumulate_moments(
     return m, var
 
 
-def accumulate_age(prev_age, prev_y, prev_x, lam, frame_idx, cfg, reproj=None):
+def accumulate_age(
+    prev_age, prev_y, prev_x, lam, frame_idx, cfg, reproj=None,
+    prev_vis=None, cur_vis=None, reproj_vis=None,
+):
     """Per-pixel consecutive-history length N for the SVGF accumulation
     ramp (cfg.accumulation_ramp; Schied et al. 2017 section 4). N follows
     the reprojected history pixel, increments every frame, clamps at
-    cfg.ramp_age_cap, and resets to 1 where the A-SVGF temporal gradient
-    flags a shading change (lam > cfg.ramp_reset_lam) or on frame 0 --
-    the gradient plays the history-rejection role SVGF's depth/normal
-    consistency test plays over a rasterized G-buffer (the reference has
-    neither: fixed alpha, temporalFiltering.comp.glsl:243).
+    cfg.ramp_age_cap, and resets to 1 where history is rejected or on
+    frame 0. Two rejection signals, each covering the other's blind spot:
 
-    ``reproj``: pre-gathered previous age at (prev_y, prev_x) (sharded
-    mode passes the halo-exchanged gather)."""
+    - the A-SVGF temporal gradient (lam > cfg.ramp_reset_lam): shading
+      changes (light motion). Blind to camera cuts -- it Phong-shades the
+      SAME world point under both lights, which is camera-independent.
+    - visibility-id mismatch (``prev_vis``/``cur_vis``): the backprojected
+      history pixel saw a DIFFERENT primitive than this pixel sees now
+      (disocclusion, off-screen clip, camera cut). This is SVGF's
+      G-buffer consistency test, fed by the previous visibility buffer
+      the reference allocates and blits but never binds
+      (main.cpp:1361-1372 vs the filter's descriptor set) -- here it
+      finally earns its keep. Blind to pure shading change on the same
+      surface, which the gradient covers.
+
+    ``reproj``/``reproj_vis``: pre-gathered previous age / previous
+    visibility at (prev_y, prev_x) (sharded mode passes the halo-exchanged
+    gathers)."""
     if reproj is None:
         reproj = _gather_aligned(prev_age, prev_y, prev_x)
     n = jnp.minimum(reproj + 1.0, jnp.float32(cfg.ramp_age_cap))
-    n = jnp.where(lam > jnp.float32(cfg.ramp_reset_lam), jnp.float32(1.0), n)
+    reset = lam > jnp.float32(cfg.ramp_reset_lam)
+    if cur_vis is not None:
+        if reproj_vis is None:
+            reproj_vis = _gather_aligned(prev_vis, prev_y, prev_x)
+        reset = reset | (reproj_vis != cur_vis)
+    n = jnp.where(reset, jnp.float32(1.0), n)
     return jnp.where(frame_idx > 0, n, jnp.float32(1.0))
 
 

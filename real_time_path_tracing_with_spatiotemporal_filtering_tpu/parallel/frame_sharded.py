@@ -166,13 +166,18 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         )
     age = None
     if cfg.accumulation_ramp:
-        # SVGF accumulation ramp: the age plane reprojects through the same
-        # windowed halo exchange as the color history.
+        # SVGF accumulation ramp: the age and previous-visibility planes
+        # reproject through the same windowed halo exchange as the color
+        # history (visibility mismatch = disocclusion/camera-cut reset).
         reproj_age = reproject_rows_sharded(
             history_local.age, py, px, row_offset, axis_name=axis
         )
+        reproj_vis = reproject_rows_sharded(
+            history_local.visibility, py, px, row_offset, axis_name=axis
+        )
         age = atrous.accumulate_age(
-            history_local.age, py, px, lam, frame_idx, cfg, reproj=reproj_age
+            history_local.age, py, px, lam, frame_idx, cfg,
+            reproj=reproj_age, cur_vis=visibility, reproj_vis=reproj_vis,
         )
     if cfg.variance_guided:
         reproj_moments = reproject_rows_sharded(

@@ -152,9 +152,12 @@ def render_frame_impl(
     age = None
     if cfg.accumulation_ramp:
         # SVGF accumulation ramp (config.py): per-pixel history length,
-        # reprojected like the color history, gradient-reset.
+        # reprojected like the color history; reset by the temporal
+        # gradient (shading change) or a visibility-id mismatch
+        # (disocclusion / camera cut -- SVGF's G-buffer consistency test).
         age = atrous.accumulate_age(
-            history.age, py, px, lam, frame_idx, cfg
+            history.age, py, px, lam, frame_idx, cfg,
+            prev_vis=history.visibility, cur_vis=gbuf.visibility,
         )
     if cfg.variance_guided:
         # SVGF extension (config.py): moments reprojected with the same
@@ -268,7 +271,8 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         # knows the fixed/adaptive alpha) -- a quality mode, so the
         # moving-camera gather cost is acceptable.
         age = atrous.accumulate_age(
-            history.age, geo.prev_y, geo.prev_x, geo.lam, frame_idx, cfg
+            history.age, geo.prev_y, geo.prev_x, geo.lam, frame_idx, cfg,
+            prev_vis=history.visibility, cur_vis=geo.visibility,
         )
         fil = (
             jnp.stack(filtered, axis=-1)

@@ -76,6 +76,26 @@ def test_age_survives_camera_orbit():
     assert (age >= 6.0).mean() > 0.5
 
 
+def test_age_resets_on_camera_cut():
+    """A camera cut is invisible to the temporal gradient (it Phong-shades
+    the SAME world point under both lights -- camera-independent), so
+    history rejection must come from the visibility-id mismatch: the
+    backprojected history pixel saw a different primitive. After a large
+    sideways jump, a substantial share of pixels must reset to age 1
+    (the blend then REPLACES the stale history, alpha = 1/1), instead of
+    ghosting it in at the ramp's 0.1 alpha floor."""
+    r = _renderer(CFG)
+    for _ in range(8):
+        r.step()
+    r.move_camera(dx=1.5)
+    r.step()
+    age = np.asarray(r.history.age)
+    assert (age == 1.0).mean() > 0.1, (
+        f"only {(age == 1.0).mean():.3f} of pixels rejected stale history "
+        "after a camera cut"
+    )
+
+
 def test_ramp_converges_deeper_than_fixed_alpha():
     """Static scene: after enough frames the ramp's alpha floor (0.1)
     averages ~3x more effective history than the fixed alpha=0.3, so the
