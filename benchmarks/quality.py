@@ -40,14 +40,17 @@ def ground_truth(tri_data, camera, light, cfg, total_spp: int):
         cfg, variance_guided=False, adaptive_alpha=False,
         demodulate_albedo=False,
     )
-    key = (cfg, total_spp)
+    key = (cfg, total_spp,
+           np.asarray(camera.position).tobytes(),
+           np.asarray(camera.rotation).tobytes())
     cached = _TRUTH_CACHE.get(key)
     if cached is not None:
         return cached
 
     fn = jax.jit(
         lambda f: pathtrace.path_trace_pass(
-            tri_data, camera.position, light, f, cfg
+            tri_data, camera.position, light, f, cfg,
+            rotation=camera.rotation,
         )
     )
     acc = np.zeros((cfg.height, cfg.width, 3), np.float64)
@@ -67,7 +70,14 @@ def run(
     nee: bool = False,
     demodulate: bool = False,
     ramp: bool = False,
+    orbit: float = 0.0,
 ):
+    """One quality measurement. ``orbit`` (radians/frame): the camera
+    orbits the scene center during accumulation and the final frame is
+    compared against a high-spp truth AT THE FINAL CAMERA -- this measures
+    reprojection lag and ghosting (what the accumulation ramp and the
+    windowed reprojection act on), which the static-camera number cannot
+    see."""
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
         Camera,
@@ -84,10 +94,18 @@ def run(
         rr_start_bounce=rr_start_bounce, nee=nee,
         demodulate_albedo=demodulate,
         accumulation_ramp=ramp,
+        adaptive_alpha=orbit != 0.0,  # the A-SVGF orbit config
     )
     scene = ptsf.Scene.cornell_box()
     td = precompute_triangle_data(scene)
-    cam, light = Camera.default(), Light.default()
+    light = Light.default()
+
+    def cam_at(i):
+        if orbit == 0.0:
+            return Camera.default()
+        return Camera.orbit([0.0, 1.0, 0.0], 6.0, orbit * i, 1.0)
+
+    cam = cam_at(frames - 1)  # truth at the final camera
 
     # Ground truth is always RR-free (RR is unbiased, so the truth is the
     # same; keeping it exact avoids paying RR's variance twice). NEE stays
@@ -99,9 +117,10 @@ def run(
         td, cam, light, dataclasses.replace(cfg, rr_start_bounce=0), spp
     )
 
-    r = ptsf.Renderer(scene, cfg, camera=cam, light=light)
+    r = ptsf.Renderer(scene, cfg, camera=cam_at(0), light=light)
     out = None
-    for _ in range(frames):
+    for i in range(frames):
+        r.camera = cam_at(i)
         out = np.asarray(r.step())
 
     # raw 1-spp noise level for the improvement factor
@@ -111,7 +130,10 @@ def run(
     )
 
     noisy = np.asarray(
-        pathtrace.path_trace_pass(td, cam.position, light, jnp.int32(frames), cfg)
+        pathtrace.path_trace_pass(
+            td, cam.position, light, jnp.int32(frames), cfg,
+            rotation=cam.rotation,
+        )
     )
 
     # clamp to displayable range: the HDR light pixels dominate rMSE
@@ -152,6 +174,12 @@ def main():
         "(per-pixel history length, alpha floor ramp_alpha_min)",
     )
     parser.add_argument(
+        "--orbit", type=float, default=0.0, metavar="RAD",
+        help="orbit the camera by RAD radians/frame; the final frame is "
+        "compared against a truth at the final camera (measures "
+        "reprojection lag/ghosting; applies to every mode measured)",
+    )
+    parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend"
     )
     args = parser.parse_args()
@@ -177,7 +205,7 @@ def main():
     for variance_guided, rr, nee, demod, ramp in modes:
         stats = run(
             args.size, args.spp, args.frames, variance_guided, rr, nee,
-            demodulate=demod, ramp=ramp,
+            demodulate=demod, ramp=ramp, orbit=args.orbit,
         )
         improvement = stats["rmse_noisy_1spp"] / max(
             stats["rmse_denoised"], 1e-12
@@ -191,6 +219,8 @@ def main():
             mode += " + albedo demod"
         if ramp:
             mode += " + accumulation ramp"
+        if args.orbit:
+            mode += f" (orbit {args.orbit:g} rad/frame)"
         print(
             json.dumps(
                 {

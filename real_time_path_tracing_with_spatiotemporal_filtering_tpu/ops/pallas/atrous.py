@@ -276,12 +276,26 @@ _BL_PAD_C = 128  # col padding (lane-aligned DMA, >= REPROJ_DX)
 
 
 def _blend_kernel(
-    iparams_ref, prev_r, prev_g, prev_b,
-    fil_r, fil_g, fil_b, py_ref, px_ref, lam_ref,
-    out_r, out_g, out_b,
-    scr, sem, *, cfg,
+    iparams_ref, *refs, cfg, ramp=False,
 ):
-    """Windowed-reprojection EMA blend over one (8, TILE_BW) slab."""
+    """Windowed-reprojection EMA blend over one (8, TILE_BW) slab.
+
+    ``ramp`` (cfg.accumulation_ramp): two more history planes (age,
+    visibility) ride the same DMA'd halo window and predicated shifts; the
+    per-pixel history length and its gradient/visibility reset are
+    computed in-kernel (op-for-op ops.atrous.accumulate_age + ramp_alpha)
+    and the blend uses alpha = max(ramp_alpha_min, 1/N). Emits the new
+    age plane as a fourth output."""
+    if ramp:
+        (prev_r, prev_g, prev_b, prev_a, prev_v,
+         fil_r, fil_g, fil_b, py_ref, px_ref, lam_ref, vis_ref,
+         out_r, out_g, out_b, out_age, scr, sem) = refs
+        planes = (prev_r, prev_g, prev_b, prev_a, prev_v)
+    else:
+        (prev_r, prev_g, prev_b,
+         fil_r, fil_g, fil_b, py_ref, px_ref, lam_ref,
+         out_r, out_g, out_b, scr, sem) = refs
+        planes = (prev_r, prev_g, prev_b)
     i = pl.program_id(0)
     j = pl.program_id(1)
     frame_idx = iparams_ref[0]
@@ -289,7 +303,6 @@ def _blend_kernel(
     rows = _BL_ROWS + 2 * _BL_PAD_R
     cols = bw + 2 * _BL_PAD_C
 
-    planes = (prev_r, prev_g, prev_b)
     copies = [
         pltpu.make_async_copy(
             ref.at[pl.ds(i * _BL_ROWS, rows), pl.ds(j * bw, cols)],
@@ -310,33 +323,48 @@ def _blend_kernel(
     dyp = py_ref[...] - gy
     dxp = px_ref[...] - gx
 
-    acc_r = jnp.zeros((_BL_ROWS, bw), jnp.float32)
-    acc_g = jnp.zeros((_BL_ROWS, bw), jnp.float32)
-    acc_b = jnp.zeros((_BL_ROWS, bw), jnp.float32)
+    n_acc = 5 if ramp else 3
+    acc = [jnp.zeros((_BL_ROWS, bw), jnp.float32) for _ in range(n_acc)]
     for oy in range(-REPROJ_DY, REPROJ_DY + 1):
         r0 = _BL_PAD_R + oy
         for ox in range(-REPROJ_DX, REPROJ_DX + 1):
             c0 = _BL_PAD_C + ox
             m = (dyp == oy) & (dxp == ox)
-            acc_r = jnp.where(m, scr[0, r0 : r0 + _BL_ROWS, c0 : c0 + bw], acc_r)
-            acc_g = jnp.where(m, scr[1, r0 : r0 + _BL_ROWS, c0 : c0 + bw], acc_g)
-            acc_b = jnp.where(m, scr[2, r0 : r0 + _BL_ROWS, c0 : c0 + bw], acc_b)
+            for c in range(n_acc):
+                acc[c] = jnp.where(
+                    m, scr[c, r0 : r0 + _BL_ROWS, c0 : c0 + bw], acc[c]
+                )
+    acc_r, acc_g, acc_b = acc[0], acc[1], acc[2]
 
-    alpha = jnp.float32(cfg.ema_alpha)
-    if cfg.adaptive_alpha:
+    first = frame_idx <= 0
+    if ramp:
+        # op-for-op ops.atrous.accumulate_age + ramp_alpha
         lam = lam_ref[...]
-        alpha = (1.0 - lam) * alpha + lam
+        n = jnp.minimum(acc[3] + 1.0, jnp.float32(cfg.ramp_age_cap))
+        reset = lam > jnp.float32(cfg.ramp_reset_lam)
+        reset = reset | (acc[4] != vis_ref[...])
+        n = jnp.where(reset, jnp.float32(1.0), n)
+        n = jnp.where(first, jnp.float32(1.0), n)
+        alpha = jnp.maximum(jnp.float32(cfg.ramp_alpha_min), 1.0 / n)
+        if cfg.adaptive_alpha:
+            alpha = (1.0 - lam) * alpha + lam
+        out_age[...] = n
+    else:
+        alpha = jnp.float32(cfg.ema_alpha)
+        if cfg.adaptive_alpha:
+            lam = lam_ref[...]
+            alpha = (1.0 - lam) * alpha + lam
     blend_r = acc_r * (1.0 - alpha) + fil_r[...] * alpha
     blend_g = acc_g * (1.0 - alpha) + fil_g[...] * alpha
     blend_b = acc_b * (1.0 - alpha) + fil_b[...] * alpha
-    first = frame_idx <= 0
     out_r[...] = jnp.where(first, fil_r[...], blend_r)
     out_g[...] = jnp.where(first, fil_g[...], blend_g)
     out_b[...] = jnp.where(first, fil_b[...], blend_b)
 
 
 def temporal_blend_pallas(
-    filtered, prev_image, prev_y, prev_x, frame_idx, lam, cfg, interpret=False
+    filtered, prev_image, prev_y, prev_x, frame_idx, lam, cfg, interpret=False,
+    prev_age=None, prev_vis=None, cur_vis=None,
 ):
     """Drop-in for ops.atrous.temporal_accumulate_at on the Pallas frame
     path. Three-way routed under one jit:
@@ -345,8 +373,16 @@ def temporal_blend_pallas(
       * deltas within the (REPROJ_DY, REPROJ_DX) window (the interactive
         orbit/walk case): the windowed Pallas kernel above;
       * anything larger (cuts): the XLA gather (correct at any delta).
+
+    With ``prev_age``/``prev_vis``/``cur_vis`` (cfg.accumulation_ramp):
+    the SVGF accumulation ramp's age plane rides the same three-way
+    routing (the windowed kernel gathers it through the halo window and
+    computes the per-pixel alpha in-kernel); returns ((H, W, 3), age)
+    instead of just the image. Numerics match ops.atrous.accumulate_age +
+    temporal_accumulate_at op-for-op.
     """
     h, w = prev_y.shape
+    ramp = prev_age is not None
     if isinstance(filtered, tuple):
         fil_r, fil_g, fil_b = filtered
     else:
@@ -379,41 +415,64 @@ def temporal_blend_pallas(
         )
         grid = (h // _BL_ROWS, w // bw)
         rows = _BL_ROWS + 2 * _BL_PAD_R
-        kernel = functools.partial(_blend_kernel, cfg=cfg)
+        kernel = functools.partial(_blend_kernel, cfg=cfg, ramp=ramp)
         iparams = jnp.asarray(frame_idx, jnp.int32).reshape(1)
         tile = pl.BlockSpec((_BL_ROWS, bw), lambda i, j: (i, j))
+        n_hist = 5 if ramp else 3
+        n_out = 4 if ramp else 3
+        hist = [pads(prev_r), pads(prev_g), pads(prev_b)]
+        tiles = [fil_r, fil_g, fil_b, prev_y, prev_x]
+        lam_in = (
+            lam
+            if (cfg.adaptive_alpha or ramp)
+            else jnp.zeros_like(fil_r)
+        )
+        tiles.append(lam_in)
+        if ramp:
+            hist += [pads(prev_age), pads(prev_vis)]
+            tiles.append(cur_vis)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pl.ANY)] * 3
-            + [tile] * 6,
-            out_specs=[tile] * 3,
-            out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3,
+            + [pl.BlockSpec(memory_space=pl.ANY)] * n_hist
+            + [tile] * len(tiles),
+            out_specs=[tile] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * n_out,
             scratch_shapes=[
-                pltpu.VMEM((3, rows, bw + 2 * _BL_PAD_C), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.VMEM((n_hist, rows, bw + 2 * _BL_PAD_C), jnp.float32),
+                pltpu.SemaphoreType.DMA((n_hist,)),
             ],
             interpret=interpret,
-        )(
-            iparams, pads(prev_r), pads(prev_g), pads(prev_b),
-            fil_r, fil_g, fil_b, prev_y, prev_x,
-            lam if cfg.adaptive_alpha else jnp.zeros_like(fil_r),
-        )
-        # the kernel already blended; mark with None sentinel handled below
-        return outs
+        )(iparams, *hist, *tiles)
+        return tuple(outs)
 
     # slab width: largest lane-aligned divisor of w (1920 -> 384, 512 -> 512)
     bw = next(
         (c for c in (512, 384, 256, 128) if w % c == 0), None
     )
-    supported = h % _BL_ROWS == 0 and bw is not None
+    kernel_supported = h % _BL_ROWS == 0 and bw is not None
 
-    def blend(reproj):
+    def blend(reproj, reproj_age=None, reproj_vis=None):
+        """XLA blend (op-for-op ops.atrous.temporal_accumulate_at). With
+        ramp: age accumulation from the pre-gathered planes, per-pixel
+        alpha; returns a 4-tuple either way (age slot zeros when off)."""
         rr, rg, rb = reproj
-        alpha = jnp.float32(cfg.ema_alpha)
-        if cfg.adaptive_alpha:
-            alpha = (1.0 - lam) * alpha + lam
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+            atrous as atrous_xla,
+        )
+
+        if ramp:
+            age = atrous_xla.accumulate_age(
+                prev_age, prev_y, prev_x, lam, frame_idx, cfg,
+                reproj=reproj_age, cur_vis=cur_vis, reproj_vis=reproj_vis,
+            )
+            alpha = atrous_xla.ramp_alpha(age, lam, cfg)[..., 0]
+        else:
+            age = jnp.zeros_like(fil_r)
+            alpha = jnp.float32(cfg.ema_alpha)
+            if cfg.adaptive_alpha:
+                alpha = (1.0 - lam) * alpha + lam
         out_r = rr * (1.0 - alpha) + fil_r * alpha
         out_g = rg * (1.0 - alpha) + fil_g * alpha
         out_b = rb * (1.0 - alpha) + fil_b * alpha
@@ -422,28 +481,40 @@ def temporal_blend_pallas(
             jnp.where(first, fil_r, out_r),
             jnp.where(first, fil_g, out_g),
             jnp.where(first, fil_b, out_b),
+            age,
         )
 
-    if not supported:
-        r, g, b = blend(
-            jax.lax.cond(
-                aligned,
-                lambda _: (prev_r, prev_g, prev_b),
-                xla_reproj,
-                None,
-            )
-        )
-        return jnp.stack([r, g, b], axis=-1)
-
-    def fast(_):
-        return jax.lax.cond(
-            small, window_reproj, lambda _: blend(xla_reproj(None)), None
+    def blend_aligned(_):
+        return blend(
+            (prev_r, prev_g, prev_b),
+            reproj_age=prev_age, reproj_vis=prev_vis,
         )
 
-    r, g, b = jax.lax.cond(
-        aligned, lambda _: blend((prev_r, prev_g, prev_b)), fast, None
-    )
-    return jnp.stack([r, g, b], axis=-1)
+    def blend_gather(_):
+        return blend(
+            xla_reproj(None),
+            reproj_age=prev_age[prev_y, prev_x] if ramp else None,
+            reproj_vis=prev_vis[prev_y, prev_x] if ramp else None,
+        )
+
+    if not kernel_supported:
+        out = jax.lax.cond(aligned, blend_aligned, blend_gather, None)
+    else:
+        def fast(_):
+            return jax.lax.cond(small, window_reproj_4, blend_gather, None)
+
+        def window_reproj_4(_):
+            outs = window_reproj(None)
+            if ramp:
+                return outs
+            return outs + (jnp.zeros_like(fil_r),)
+
+        out = jax.lax.cond(aligned, blend_aligned, fast, None)
+    r, g, b, age = out
+    rgb = jnp.stack([r, g, b], axis=-1)
+    if ramp:
+        return rgb, age
+    return rgb
 
 
 def supported(h: int, w: int, cfg) -> bool:

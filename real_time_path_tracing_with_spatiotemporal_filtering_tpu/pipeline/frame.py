@@ -266,22 +266,14 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
             noisy, geo.normal, geo.depth, cfg, interpret=interpret
         )
     if cfg.accumulation_ramp:
-        # ramp mode routes the blend through the XLA path (per-pixel alpha
-        # from the accumulated age; the windowed Pallas blend kernel only
-        # knows the fixed/adaptive alpha) -- a quality mode, so the
-        # moving-camera gather cost is acceptable.
-        age = atrous.accumulate_age(
-            history.age, geo.prev_y, geo.prev_x, geo.lam, frame_idx, cfg,
-            prev_vis=history.visibility, cur_vis=geo.visibility,
-        )
-        fil = (
-            jnp.stack(filtered, axis=-1)
-            if isinstance(filtered, tuple)
-            else filtered
-        )
-        rgb = atrous.temporal_accumulate_at(
-            fil, history.image, geo.prev_y, geo.prev_x, frame_idx, geo.lam,
-            cfg, age=age,
+        # the age/visibility planes ride the windowed blend kernel's halo
+        # window (per-pixel ramp alpha computed in-kernel), so ramp mode
+        # keeps the moving-camera blend off the ~13 ms XLA gather
+        rgb, age = atrous_pl.temporal_blend_pallas(
+            filtered, history.image, geo.prev_y, geo.prev_x, frame_idx,
+            geo.lam, cfg, interpret=interpret,
+            prev_age=history.age, prev_vis=history.visibility,
+            cur_vis=geo.visibility,
         )
     else:
         age = None
