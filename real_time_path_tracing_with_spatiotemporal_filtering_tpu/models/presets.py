@@ -33,7 +33,8 @@ def cornell_box_quality(**overrides) -> Renderer:
     variance-guided SVGF weights."""
     cfg = RenderConfig(
         **{"width": 1920, "height": 1080, "spp": 4, "adaptive_alpha": True,
-           "nee": True, "variance_guided": True, **overrides}
+           "nee": True, "variance_guided": True, "accumulation_ramp": True,
+           **overrides}
     )
     return Renderer(Scene.cornell_box(), cfg)
 
@@ -46,7 +47,8 @@ def cornell_box_interactive(**overrides) -> Renderer:
     this is the single biggest throughput lever at any scene size."""
     cfg = RenderConfig(
         **{"width": 1920, "height": 1080, "rr_start_bounce": 4,
-           "variance_guided": True, **overrides}
+           "variance_guided": True, "accumulation_ramp": True,
+           "adaptive_alpha": True, **overrides}
     )
     return Renderer(Scene.cornell_box(), cfg)
 
