@@ -46,6 +46,9 @@ def main():
     p.add_argument("--tile-w", type=int, default=None,
                    help="wavefront tile width in lanes (A/B knob; "
                    "multiple of 128, default 512)")
+    p.add_argument("--sort-mode", default=None,
+                   help="wavefront ray-sort key (A/B knob; see "
+                   "wavefront.SORT_MODES; default: production default)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     args = p.parse_args()
@@ -120,6 +123,7 @@ def main():
                     td, cam.position, light, 1, cfg,
                     hdr_lanes=args.hdr_lanes or None,
                     tile_w=args.tile_w,
+                    sort_mode=args.sort_mode or wf_mod.DEFAULT_SORT_MODE,
                 )[..., 0]
             )
             try:

@@ -137,12 +137,64 @@ def _dir_bin(dx, dy, dz):
 # (visited/tile drops ~6x at 32k) and is worth far more than the 8x
 # origin-cell spread it costs. Fine direction bins (dir_cell's 96
 # cones) overshoot -- origins scatter and culling collapses again.
-SORT_MODES = ("cell_oct", "oct_cell", "oct_fine", "dir_cell", "mix")
+#
+# "super" / "oct_super" are traversal-GUIDED keys: every geometric key
+# above is a proxy for "rays that need the same clusters"; these compute
+# the need directly. A cheap unrolled XLA broad phase slab-tests each ray
+# against the <=~64 supercluster AABBs (_nearest_super) and the key leads
+# with the id of the first super the ray will traverse, then Morton-cells
+# the ray's ENTRY POINT into it (= the origin for rays starting inside a
+# super, but the point where traversal work actually happens for rays
+# crossing empty space). Tiles then hold rays that agree on their first
+# super, so phase A's whole-tile union stops mixing unrelated scene
+# regions -- the failure mode behind the measured ~2% run-cluster
+# occupancy at 248k tris (docs/DESIGN_ROUND3.md section 1).
+SORT_MODES = (
+    "cell_oct", "oct_cell", "oct_fine", "dir_cell", "mix",
+    "super", "oct_super",
+)
 DEFAULT_SORT_MODE = "oct_cell"
 
 
-def _sort_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_size, mode="cell_oct"):
-    """Coherence key; dead rays sort to the tail (sentinel 1<<30)."""
+def _nearest_super(ox, oy, oz, dx, dy, dz, saabb, num_supers):
+    """Per-ray id of the nearest pierced supercluster (sentinel
+    ``num_supers`` for rays that miss all of them) and its entry distance
+    (0 for misses). Unrolled over the supers -- O(rays) memory, ~25
+    vector ops per super; degenerate pad boxes (+3e37 point boxes,
+    build_hierarchy) self-reject in the slab test."""
+    tiny = jnp.float32(1e-12)
+    inv = tuple(
+        1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d) for d in (dx, dy, dz)
+    )
+    big = jnp.float32(3e37)
+    best_t = jnp.full_like(ox, big)
+    best_id = jnp.full(ox.shape, num_supers, jnp.int32)
+    for k in range(num_supers):
+        tn = jnp.zeros_like(ox)  # max(entry, 0): behind-ray boxes miss
+        tf = jnp.full_like(ox, big)
+        for axis, o in enumerate((ox, oy, oz)):
+            t0 = (saabb[k, axis] - o) * inv[axis]
+            t1 = (saabb[k, axis + 3] - o) * inv[axis]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        enter = jnp.where(tf >= tn, tn, big)
+        closer = enter < best_t
+        best_t = jnp.where(closer, enter, best_t)
+        best_id = jnp.where(closer, k, best_id)
+    return best_id, jnp.where(best_t < big, best_t, jnp.float32(0.0))
+
+
+def _sort_key(
+    ox, oy, oz, dx, dy, dz, alive, lo, inv_size, mode="cell_oct",
+    saabb=None, num_supers=0,
+):
+    """Coherence key; dead rays sort to the tail (sentinel 1<<30).
+
+    ``saabb``/``num_supers`` feed the traversal-guided "super"/"oct_super"
+    modes; scenes with no super level fall back to oct_cell."""
+    if mode in ("super", "oct_super") and num_supers == 0:
+        mode = "oct_cell"
+
     def cell(o, axis):
         q = ((o - lo[axis]) * inv_size[axis] * jnp.float32(16.0)).astype(
             jnp.int32
@@ -197,6 +249,26 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_size, mode="cell_oct"):
         # region with a narrow direction spread
         d = _dir_bin(dx, dy, dz)
         key = ((m >> 7) << 14) | (d << 7) | (m & 0x7F)
+    elif mode in ("super", "oct_super"):
+        sid, t_in = _nearest_super(ox, oy, oz, dx, dy, dz, saabb, num_supers)
+        ex = ox + dx * t_in
+        ey = oy + dy * t_in
+        ez = oz + dz * t_in
+        m_e = (
+            _spread4(cell(ex, 0))
+            | (_spread4(cell(ey, 1)) << 1)
+            | (_spread4(cell(ez, 2)) << 2)
+        )
+        oct3 = (
+            (dx > 0.0).astype(jnp.int32) * 4
+            + (dy > 0.0).astype(jnp.int32) * 2
+            + (dz > 0.0).astype(jnp.int32)
+        )
+        if mode == "super":
+            key = (sid << 15) | (oct3 << 12) | m_e
+        else:
+            sbits = max(1, int(num_supers).bit_length())
+            key = (oct3 << (12 + sbits)) | (sid << 12) | m_e
     else:
         raise ValueError(f"unknown sort mode {mode!r}")
     return jnp.where(alive != 0, key, jnp.int32(1 << 30))
@@ -573,7 +645,8 @@ def path_trace_wavefront(
         (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
          res_r, res_g, res_b, st, alive_i) = [p.reshape(n) for p in planes]
         key = _sort_key(
-            ox, oy, oz, dx, dy, dz, alive_i, lo, inv_size, mode=sort_mode
+            ox, oy, oz, dx, dy, dz, alive_i, lo, inv_size, mode=sort_mode,
+            saabb=super_aabbs, num_supers=num_supers,
         )
         sorted_ops = jax.lax.sort(
             (key, ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,

@@ -692,3 +692,36 @@ def test_wavefront_tile_width_equal():
             ref = out
         else:
             np.testing.assert_array_equal(ref, out)
+
+
+def test_nearest_super_broad_phase():
+    """_nearest_super (the traversal-guided sort key's broad phase) picks
+    the first-pierced box, ignores boxes behind the ray and degenerate
+    pads, and reports entry distance 0 for rays starting inside."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
+        _nearest_super,
+    )
+
+    # three unit boxes along +x at x in [2,3], [5,6], [8,9]; one 3e37 pad
+    saabb = jnp.asarray(
+        [
+            [2.0, 0.0, 0.0, 3.0, 1.0, 1.0],
+            [5.0, 0.0, 0.0, 6.0, 1.0, 1.0],
+            [8.0, 0.0, 0.0, 9.0, 1.0, 1.0],
+            [3e37, 3e37, 3e37, 3e37, 3e37, 3e37],
+        ],
+        jnp.float32,
+    )
+    ox = jnp.asarray([0.0, 4.0, 7.0, 5.5, 10.0, 0.0], jnp.float32)
+    oy = jnp.full_like(ox, 0.5)
+    oz = jnp.full_like(ox, 0.5)
+    dx = jnp.asarray([1.0, 1.0, 1.0, 1.0, 1.0, -1.0], jnp.float32)
+    dy = jnp.zeros_like(dx)
+    dz = jnp.zeros_like(dx)
+    sid, t_in = _nearest_super(ox, oy, oz, dx, dy, dz, saabb, 4)
+    sid, t_in = np.asarray(sid), np.asarray(t_in)
+    # from 0: box0 at t=2; from 4: box1 at t=1; from 7: box2 at t=1;
+    # inside box1: id 1 at t=0; past all boxes: miss sentinel; looking
+    # away from every box: miss sentinel
+    np.testing.assert_array_equal(sid, [0, 1, 2, 1, 4, 4])
+    np.testing.assert_allclose(t_in, [2.0, 1.0, 1.0, 0.0, 0.0, 0.0])
