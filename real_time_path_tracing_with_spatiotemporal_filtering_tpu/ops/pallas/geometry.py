@@ -319,9 +319,8 @@ def pack_geometry_clusters(tri_data):
     )
     if csize == 0:
         return None
-    perm = np.argsort(morton_codes_np(tris.mean(1)), kind="stable").astype(
-        np.int32
-    )
+    cents = (tris[:, 0] + tris[:, 1] + tris[:, 2]) / np.float32(3.0)
+    perm = np.argsort(morton_codes_np(cents), kind="stable").astype(np.int32)
     # numpy twin of pack_triangles (same column layout): building the table
     # with jnp would bounce 21 columns through the accelerator. ONE
     # contiguous concatenate of all 31 columns (the primID+1 of the
@@ -345,11 +344,19 @@ def pack_geometry_clusters(tri_data):
     ).astype(np.float32, copy=False)
 
     padded_rows = num_clusters * csize
-    static = np.zeros((padded_rows, _GEO_STATIC_COLS), np.float32)
+    # empty + pad-only zeroing (a full np.zeros page-faults all 31 MB at
+    # 250k tris); pad rows must stay zero -- their plane test yields nan t
+    static = np.empty((padded_rows, _GEO_STATIC_COLS), np.float32)
+    static[num_tris:] = 0.0
     static[:num_tris] = tmp[perm]
     tris_perm = static[:num_tris, 21:30].reshape(num_tris, 3, 3)  # view
-    lo = tris_perm.min(1)
-    hi = tris_perm.max(1)
+    # pairwise ufuncs instead of the generic axis-1 reduce (~5x at 250k)
+    lo = np.minimum(
+        np.minimum(tris_perm[:, 0], tris_perm[:, 1]), tris_perm[:, 2]
+    )
+    hi = np.maximum(
+        np.maximum(tris_perm[:, 0], tris_perm[:, 1]), tris_perm[:, 2]
+    )
     caabb = _group_aabbs(lo, hi, csize)
     nsub = nsub_for(csize)
     sub = _group_aabbs(lo, hi, max(csize // nsub, 1))

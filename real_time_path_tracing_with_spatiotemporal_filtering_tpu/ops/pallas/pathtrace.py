@@ -172,9 +172,15 @@ def pack_shading_pairs(tri_data) -> "np.ndarray":
         )
 
         tris = np.asarray(tri_data.lut)[1:]
-        cents = (
-            tris[pairs[:, 0]].mean(1) + tris[pairs[:, 1]].mean(1)
-        ).astype(np.float32) * np.float32(0.5)
+        # per-triangle centroids ONCE, then gather (3 floats/pair instead
+        # of gathering 9 and reducing; same pairwise sum order as
+        # np.mean's (v0+v1)+v2, so bit-identical)
+        tc = ((tris[:, 0] + tris[:, 1] + tris[:, 2]) / np.float32(3.0)).astype(
+            np.float32, copy=False
+        )
+        cents = (tc[pairs[:, 0]] + tc[pairs[:, 1]]).astype(
+            np.float32
+        ) * np.float32(0.5)
         codes = morton_codes_np(cents)
         pairs = pairs[np.argsort(codes, kind="stable")]
 
@@ -301,8 +307,12 @@ def build_hierarchy(tri_data, pair_order):
     tris = np.asarray(tri_data.lut)[1:]  # (T, 3, 3)
     pairs = np.asarray(pair_order, np.int64).reshape(-1, 2)
     a, b = pairs[:, 0], pairs[:, 1]
-    lo = np.minimum(tris[a].min(1), tris[b].min(1))  # (P, 3)
-    hi = np.maximum(tris[a].max(1), tris[b].max(1))
+    # per-triangle extents ONCE with pairwise ufuncs (numpy's generic
+    # axis-1 reduce on the gathered (P, 3, 3) measured ~5x slower at 250k)
+    tlo = np.minimum(np.minimum(tris[:, 0], tris[:, 1]), tris[:, 2])
+    thi = np.maximum(np.maximum(tris[:, 0], tris[:, 1]), tris[:, 2])
+    lo = np.minimum(tlo[a], tlo[b])  # (P, 3)
+    hi = np.maximum(thi[a], thi[b])
     caabb = _group_aabbs(lo, hi, cs)
     nsub = nsub_for(cs)
     sub = _group_aabbs(lo, hi, max(cs // nsub, 1))
@@ -394,8 +404,18 @@ def _group_aabbs(lo: "np.ndarray", hi: "np.ndarray", csize: int):
     if pad:
         lo = np.concatenate([lo, np.full((pad, 3), np.inf, lo.dtype)])
         hi = np.concatenate([hi, np.full((pad, 3), -np.inf, hi.dtype)])
-    lo_g = lo.reshape(-1, csize, 3).min(axis=1)
-    hi_g = hi.reshape(-1, csize, 3).max(axis=1)
+    # pairwise-halving reduction (csize is a power of two): touches ~2x
+    # the data total vs numpy's generic strided axis reduce at ~5x the
+    # throughput; min/max are exactly associative so this is bit-identical
+    lo_g = lo.reshape(-1, 3)
+    hi_g = hi.reshape(-1, 3)
+    groups = csize
+    while groups > 1:
+        half = lo_g.reshape(-1, 2, 3)
+        lo_g = np.minimum(half[:, 0], half[:, 1])
+        half = hi_g.reshape(-1, 2, 3)
+        hi_g = np.maximum(half[:, 0], half[:, 1])
+        groups //= 2
     out = np.concatenate([lo_g, hi_g], axis=1).astype(np.float32)
     out[~np.isfinite(out[:, 0])] = DEGENERATE_BOX
     return out
