@@ -38,11 +38,12 @@ def ground_truth(tri_data, camera, light, cfg, total_spp: int):
     # parity vs variance-guided filtering (RenderConfig is frozen/hashable).
     cfg = _dc.replace(
         cfg, variance_guided=False, adaptive_alpha=False,
-        demodulate_albedo=False,
+        demodulate_albedo=False, path_gradient=False,
     )
     key = (cfg, total_spp,
            np.asarray(camera.position).tobytes(),
-           np.asarray(camera.rotation).tobytes())
+           np.asarray(camera.rotation).tobytes(),
+           np.asarray(light.position).tobytes())
     cached = _TRUTH_CACHE.get(key)
     if cached is not None:
         return cached
@@ -71,13 +72,22 @@ def run(
     demodulate: bool = False,
     ramp: bool = False,
     orbit: float = 0.0,
+    light_motion: float = 0.0,
+    path_gradient: bool = False,
 ):
     """One quality measurement. ``orbit`` (radians/frame): the camera
     orbits the scene center during accumulation and the final frame is
     compared against a high-spp truth AT THE FINAL CAMERA -- this measures
     reprojection lag and ghosting (what the accumulation ramp and the
     windowed reprojection act on), which the static-camera number cannot
-    see."""
+    see.
+
+    ``light_motion`` (units/frame along x): the light translates during
+    accumulation and the truth is rendered AT THE FINAL LIGHT -- this
+    measures shading-change lag (stale shadows/indirect light), the signal
+    the temporal-gradient lambda exists to bound. ``path_gradient`` swaps
+    in the A-SVGF path-space gradient (ops/pathgrad.py) on top of the
+    reference's Phong proxy."""
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
         Camera,
@@ -94,11 +104,26 @@ def run(
         rr_start_bounce=rr_start_bounce, nee=nee,
         demodulate_albedo=demodulate,
         accumulation_ramp=ramp,
-        adaptive_alpha=orbit != 0.0,  # the A-SVGF orbit config
+        # the A-SVGF dynamic configs
+        adaptive_alpha=orbit != 0.0 or light_motion != 0.0 or path_gradient,
+        path_gradient=path_gradient,
     )
     scene = ptsf.Scene.cornell_box()
     td = precompute_triangle_data(scene)
-    light = Light.default()
+
+    import dataclasses
+
+    def light_at(i):
+        l = Light.default()
+        if light_motion == 0.0:
+            return l
+        return dataclasses.replace(
+            l,
+            position=np.asarray(l.position, np.float32)
+            + np.array([light_motion * i, 0.0, 0.0], np.float32),
+        )
+
+    light = light_at(frames - 1)  # truth at the final light
 
     def cam_at(i):
         if orbit == 0.0:
@@ -111,16 +136,17 @@ def run(
     # same; keeping it exact avoids paying RR's variance twice). NEE stays
     # on for the truth when enabled: it changes the transport semantics
     # (no fall-through quirk, occluded light), not just the variance.
-    import dataclasses
-
     truth = ground_truth(
-        td, cam, light, dataclasses.replace(cfg, rr_start_bounce=0), spp
+        td, cam, light,
+        dataclasses.replace(cfg, rr_start_bounce=0, path_gradient=False),
+        spp,
     )
 
-    r = ptsf.Renderer(scene, cfg, camera=cam_at(0), light=light)
+    r = ptsf.Renderer(scene, cfg, camera=cam_at(0), light=light_at(0))
     out = None
     for i in range(frames):
         r.camera = cam_at(i)
+        r.light = light_at(i)
         out = np.asarray(r.step())
 
     # raw 1-spp noise level for the improvement factor
@@ -180,6 +206,17 @@ def main():
         "reprojection lag/ghosting; applies to every mode measured)",
     )
     parser.add_argument(
+        "--light-motion", type=float, default=0.0, metavar="DX",
+        help="translate the light by DX units/frame along x; the final "
+        "frame is compared against a truth at the final light (measures "
+        "shading-change lag; applies to every mode measured)",
+    )
+    parser.add_argument(
+        "--path-gradient", action="store_true",
+        help="also measure with the A-SVGF path-space temporal gradient "
+        "(re-traced sparse samples; variance-guided mode)",
+    )
+    parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend"
     )
     args = parser.parse_args()
@@ -189,23 +226,27 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    modes = [(False, 0, False, False, False)] if args.skip_variance else [
-        (False, 0, False, False, False), (True, 0, False, False, False)
+    modes = [(False, 0, False, False, False, False)] if args.skip_variance else [
+        (False, 0, False, False, False, False),
+        (True, 0, False, False, False, False),
     ]
     if args.rr_start_bounce:
-        modes.append((True, args.rr_start_bounce, False, False, False))
+        modes.append((True, args.rr_start_bounce, False, False, False, False))
     if args.nee:
-        modes.append((True, 0, True, False, False))
+        modes.append((True, 0, True, False, False, False))
     if args.demod:
         # demodulation requires the variance-normalized (scale-invariant)
         # luminance weight (config.py validation)
-        modes.append((True, 0, False, True, False))
+        modes.append((True, 0, False, True, False, False))
     if args.ramp:
-        modes.append((True, 0, False, False, True))
-    for variance_guided, rr, nee, demod, ramp in modes:
+        modes.append((True, 0, False, False, True, False))
+    if args.path_gradient:
+        modes.append((True, 0, False, False, args.ramp, True))
+    for variance_guided, rr, nee, demod, ramp, pg in modes:
         stats = run(
             args.size, args.spp, args.frames, variance_guided, rr, nee,
             demodulate=demod, ramp=ramp, orbit=args.orbit,
+            light_motion=args.light_motion, path_gradient=pg,
         )
         improvement = stats["rmse_noisy_1spp"] / max(
             stats["rmse_denoised"], 1e-12
@@ -219,8 +260,12 @@ def main():
             mode += " + albedo demod"
         if ramp:
             mode += " + accumulation ramp"
+        if pg:
+            mode += " + path gradient"
         if args.orbit:
             mode += f" (orbit {args.orbit:g} rad/frame)"
+        if args.light_motion:
+            mode += f" (light {args.light_motion:g} u/frame)"
         print(
             json.dumps(
                 {

@@ -44,6 +44,12 @@ def main() -> None:
                         help="next-event estimation: explicit light "
                         "sampling with shadow rays (non-parity; much "
                         "lower 1-spp noise, light respects occluders)")
+    parser.add_argument("--path-gradient", action="store_true",
+                        help="A-SVGF path-space temporal gradient: "
+                        "re-trace sparse previous-frame samples under the "
+                        "current light, max()'d with the Phong proxy "
+                        "(extension; needs --adaptive-alpha or "
+                        "--accumulation-ramp)")
     parser.add_argument("--rr-start-bounce", type=int, default=0,
                         help="Russian roulette from this bounce on "
                         "(0 = off/reference parity; unbiased early "
@@ -89,6 +95,7 @@ def main() -> None:
         light_through_walls=not args.no_light_quirk,
         rr_start_bounce=args.rr_start_bounce,
         nee=args.nee,
+        path_gradient=args.path_gradient,
     )
     if args.scene:
         scene = ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))

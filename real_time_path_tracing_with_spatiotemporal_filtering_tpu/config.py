@@ -132,6 +132,21 @@ class RenderConfig:
     ramp_alpha_min: float = 0.1      # alpha floor (SVGF uses 0.2 over RT)
     ramp_reset_lam: float = 0.5      # gradient level that resets history
     ramp_age_cap: float = 1024.0     # guards 1/N float behavior, not quality
+    # A-SVGF path-space gradient (Schied et al. 2018; ops/pathgrad.py).
+    # The reference's temporal gradient Phong-shades the same world point
+    # under both lights (temporalGradient.comp.glsl:104-171) -- dense but
+    # direct-light-only, blind to shadows and indirect changes. With
+    # path_gradient=True one previous-frame sample per
+    # gradient_stratum^2-pixel stratum is RE-TRACED (same pixel, same
+    # camera, same PCG seed -> bit-identical path) under the current
+    # light; the relative luminance change is a true path-space gradient
+    # (exactly zero when nothing changed). It is box-filtered at stratum
+    # resolution, upsampled, and combined as lam = max(phong, path) --
+    # the signals have disjoint blind spots (see ops/pathgrad.py).
+    # Costs ~1/stratum^2 extra trace work. Off by default for parity.
+    path_gradient: bool = False
+    gradient_stratum: int = 3        # stratum edge (paper uses 3)
+    gradient_filter_iters: int = 2   # 3x3 box passes over the sparse grid
     moments_alpha: float = 0.2       # EMA weight of the current moments
     # For the first few frames the temporal variance estimate has too little
     # history; use a 5x5 spatial moment estimate instead (paper section 4.2).
@@ -188,6 +203,17 @@ class RenderConfig:
             )
         if self.accumulation_ramp and not (0.0 < self.ramp_alpha_min <= 1.0):
             raise ValueError("ramp_alpha_min must be in (0, 1]")
+        if self.path_gradient and not (
+            self.adaptive_alpha or self.accumulation_ramp
+        ):
+            # lam only feeds adaptive alpha and the ramp reset; computing
+            # the re-trace without a consumer is pure waste.
+            raise ValueError(
+                "path_gradient requires adaptive_alpha or accumulation_ramp "
+                "(nothing else consumes the gradient)"
+            )
+        if self.gradient_stratum < 1:
+            raise ValueError("gradient_stratum must be >= 1")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto, xla or pallas")
 

@@ -202,19 +202,19 @@ def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, 
     return jnp.where(alive[..., None], accum, result)
 
 
-def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, rows=None, rotation=None):
-    """Full path-trace pass: per-pixel seeds, AA jitter, spp loop, average
-    (raytrace.comp.glsl:273-344). Returns the noisy radiance (H, W, 3).
+def trace_pixels(tri_data, camera_pos, light, frame_idx, px, py, cfg, rotation=None):
+    """Per-pixel seeds, AA jitter, spp loop, average
+    (raytrace.comp.glsl:273-344) for EXPLICIT pixel-coordinate arrays.
 
-    ``row_offset``/``rows``: render a row slab for sharded execution; seeds
-    and rays are functions of GLOBAL pixel coordinates, so a sharded render
-    is bitwise identical to the single-chip one.
+    ``px``/``py``: int32 GLOBAL pixel coordinates of any (matching) shape;
+    the output radiance has shape ``px.shape + (3,)``. Because seeds and
+    rays are pure functions of the global coordinates, tracing any subset
+    of pixels is bitwise identical to the same pixels of a full-frame
+    trace -- the property both the sharded row slabs and the A-SVGF
+    path-space gradient re-trace (ops/pathgrad.py) rely on.
     """
-    h = cfg.height if rows is None else rows
-    w = cfg.width
-    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row_offset
-    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     light_color_hdr = light.color * jnp.float32(cfg.light_intensity)
+    shape = px.shape
 
     def one_batch(batch_idx, acc):
         state = rng_ops.seed_per_pixel(px, py, frame_idx, batch_idx)
@@ -232,7 +232,7 @@ def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, r
                 jitter_y=jnp.float32(cfg.aa_sigma) * gy,
                 rotation=rotation,
             )
-            origins = jnp.broadcast_to(camera_pos, (h, w, 3))
+            origins = jnp.broadcast_to(camera_pos, shape + (3,))
             color = trace_paths(
                 tri_data, light.position, light_color_hdr, origins, dirs,
                 state_s, cfg,
@@ -243,11 +243,29 @@ def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, r
             return acc_s + color, state_s
 
         summed, _ = jax.lax.fori_loop(
-            0, cfg.spp, one_sample, (jnp.zeros((h, w, 3), jnp.float32), state)
+            0, cfg.spp, one_sample, (jnp.zeros(shape + (3,), jnp.float32), state)
         )
         return acc + summed / jnp.float32(cfg.spp)
 
     total = jax.lax.fori_loop(
-        0, cfg.sample_batches, one_batch, jnp.zeros((h, w, 3), jnp.float32)
+        0, cfg.sample_batches, one_batch, jnp.zeros(shape + (3,), jnp.float32)
     )
     return total / jnp.float32(cfg.sample_batches)
+
+
+def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, rows=None, rotation=None):
+    """Full path-trace pass over the pixel grid: :func:`trace_pixels` at
+    every (row_offset.., 0..W) coordinate. Returns the noisy radiance
+    (H, W, 3).
+
+    ``row_offset``/``rows``: render a row slab for sharded execution; seeds
+    and rays are functions of GLOBAL pixel coordinates, so a sharded render
+    is bitwise identical to the single-chip one.
+    """
+    h = cfg.height if rows is None else rows
+    w = cfg.width
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row_offset
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return trace_pixels(
+        tri_data, camera_pos, light, frame_idx, px, py, cfg, rotation=rotation
+    )

@@ -48,7 +48,10 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.history i
 
 
 def _history_spec(
-    axis: str, variance_guided: bool = False, accumulation_ramp: bool = False
+    axis: str,
+    variance_guided: bool = False,
+    accumulation_ramp: bool = False,
+    path_gradient: bool = False,
 ) -> History:
     """PartitionSpec pytree for History: image planes row-sharded, scene/
     camera state replicated."""
@@ -63,7 +66,53 @@ def _history_spec(
         frame=P(),
         moments=P(axis) if variance_guided else None,
         age=P(axis) if accumulation_ramp else None,
+        noisy_lum=P(axis) if path_gradient else None,
+        cam_pos=P() if path_gradient else None,
+        cam_rot=P() if path_gradient else None,
     )
+
+
+def _path_gradient_shard(
+    tri_data, light, frame_idx, cfg, history_local, py, px, visibility,
+    reproj_vis, row_offset, local_h, axis,
+):
+    """This shard's rows of the A-SVGF path-space gradient (ops/pathgrad.py).
+
+    The stratum grid is global and stratum_pixels draws from global stratum
+    coordinates, so each shard computes exactly its own stratum rows
+    (make_sharded_frame validates local_h % gradient_stratum == 0) and the
+    result is bitwise identical to the single-chip pass. The two history
+    gathers (previous luminance, previous visibility) resolve through the
+    same windowed halo exchange as the color history; the re-trace itself
+    is local compute (rays are pure functions of global pixel coords). The
+    stratum-resolution box filter exchanges a 1-stratum-row halo per pass.
+    """
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+        pathgrad,
+    )
+
+    s = cfg.gradient_stratum
+    w = cfg.width
+    sr_rows = local_h // s
+    gy, gx = pathgrad.stratum_pixels(
+        cfg.height, w, frame_idx, s,
+        sr_offset=row_offset // s, sr_rows=sr_rows,
+    )
+    gy_loc = gy - row_offset
+    pyg = py[gy_loc, gx]
+    pxg = px[gy_loc, gx]
+    reproj_lum = reproject_rows_sharded(
+        history_local.noisy_lum, py, px, row_offset, axis_name=axis
+    )
+    lam = pathgrad.retrace_lambda(
+        tri_data, light, frame_idx, cfg,
+        reproj_lum[gy_loc, gx], pyg, pxg,
+        visibility[gy_loc, gx], reproj_vis[gy_loc, gx],
+        history_local.cam_pos, history_local.cam_rot,
+    )
+    for _ in range(cfg.gradient_filter_iters):
+        lam = pathgrad.box3_filter(lam, exchange_row_halo(lam, 1, axis))
+    return pathgrad.upsample_nearest(lam, s, local_h, w)
 
 
 def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis: str):
@@ -145,6 +194,10 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
             row_offset=row_offset, rows=local_h, rotation=camera.rotation,
         )
 
+    # Raw (pre-demodulation) trace luminance for next frame's gradient
+    # re-trace (single-chip ordering: frame.py computes it before demod).
+    noisy_lum = atrous.luminance(noisy) if cfg.path_gradient else None
+
     if cfg.demodulate_albedo:
         # SVGF albedo demodulation (config.py): per-pixel, so the sharded
         # path is identical to single-chip -- no communication
@@ -164,6 +217,30 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
             gbuf, history_local.lut, history_local.view,
             history_local.proj, cfg, row_offset=row_offset,
         )
+    reproj_vis = None
+    if cfg.accumulation_ramp or cfg.path_gradient:
+        reproj_vis = reproject_rows_sharded(
+            history_local.visibility, py, px, row_offset, axis_name=axis
+        )
+    if cfg.path_gradient:
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+            pathtrace as _pt_mod,
+        )
+
+        if use_pallas and _pt_mod.trace_needs_streaming(tri_data):
+            # same routing as the single-chip Pallas frame: the gradient
+            # re-trace would hit the dense O(N*T) tracer -- keep the
+            # Phong-only lambda for HBM-streamed scenes.
+            pass
+        else:
+            lam = jnp.maximum(
+                lam,
+                _path_gradient_shard(
+                    tri_data, light, frame_idx, cfg, history_local,
+                    py, px, visibility, reproj_vis, row_offset, local_h,
+                    axis,
+                ),
+            )
     age = None
     if cfg.accumulation_ramp:
         # SVGF accumulation ramp: the age and previous-visibility planes
@@ -171,9 +248,6 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         # history (visibility mismatch = disocclusion/camera-cut reset).
         reproj_age = reproject_rows_sharded(
             history_local.age, py, px, row_offset, axis_name=axis
-        )
-        reproj_vis = reproject_rows_sharded(
-            history_local.visibility, py, px, row_offset, axis_name=axis
         )
         age = atrous.accumulate_age(
             history_local.age, py, px, lam, frame_idx, cfg,
@@ -232,6 +306,9 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         frame=frame_idx + 1,
         moments=moments,
         age=age,
+        noisy_lum=noisy_lum,
+        cam_pos=jnp.asarray(camera.position) if cfg.path_gradient else None,
+        cam_rot=jnp.asarray(camera.rotation) if cfg.path_gradient else None,
     )
     if cfg.demodulate_albedo:
         # display radiance; history stays demodulated
@@ -255,8 +332,16 @@ def make_sharded_frame(cfg: RenderConfig, mesh, axis: str = ROW_AXIS):
             "each shard needs at least wavelet_iterations rows for the "
             f"widest halo ({cfg.height // n} < {cfg.wavelet_iterations})"
         )
+    if cfg.path_gradient and (cfg.height // n) % cfg.gradient_stratum != 0:
+        raise ValueError(
+            "path_gradient needs shard rows divisible by gradient_stratum "
+            f"({cfg.height // n} % {cfg.gradient_stratum} != 0) so stratum "
+            "cells do not straddle shards"
+        )
 
-    hist_spec = _history_spec(axis, cfg.variance_guided, cfg.accumulation_ramp)
+    hist_spec = _history_spec(
+        axis, cfg.variance_guided, cfg.accumulation_ramp, cfg.path_gradient
+    )
     shard_fn = jax.shard_map(
         functools.partial(_frame_shard, cfg=cfg, axis=axis),
         mesh=mesh,
@@ -278,7 +363,10 @@ def init_sharded_history(tri_data, cfg: RenderConfig, mesh, axis: str = ROW_AXIS
     # explicit leaf predicate rather than tree_map'ing over both trees.
     leaves, treedef = jax.tree_util.tree_flatten(hist)
     specs = jax.tree_util.tree_leaves(
-        _history_spec(axis, cfg.variance_guided, cfg.accumulation_ramp),
+        _history_spec(
+            axis, cfg.variance_guided, cfg.accumulation_ramp,
+            cfg.path_gradient,
+        ),
         is_leaf=lambda x: isinstance(x, P),
     )
     placed = [

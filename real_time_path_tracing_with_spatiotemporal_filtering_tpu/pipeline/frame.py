@@ -25,6 +25,7 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
     camera as cam_ops,
     gbuffer,
     gradient,
+    pathgrad,
     pathtrace,
 )
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.history import (
@@ -69,6 +70,24 @@ def _warn_fallback_once(num_rows: int, cap: int) -> None:
         "geometry); falling back to the dense O(pixels x triangles) XLA "
         "formulation, which is correct at any size but orders of magnitude "
         "slower. See device_info()['pallas_resident_row_cap'].",
+        stacklevel=3,
+    )
+
+
+_warned_pathgrad = False
+
+
+def _warn_pathgrad_streaming_once() -> None:
+    global _warned_pathgrad
+    if _warned_pathgrad:
+        return
+    _warned_pathgrad = True
+    import warnings
+
+    warnings.warn(
+        "path_gradient is disabled for HBM-streamed scenes (the gradient "
+        "re-trace uses the dense O(pixels x triangles) tracer); the frame "
+        "keeps the reference's Phong-proxy temporal gradient instead.",
         stacklevel=3,
     )
 
@@ -129,11 +148,30 @@ def render_frame_impl(
         history.light_color,
     )
 
+    py = px = None
+    if cfg.variance_guided or cfg.accumulation_ramp or cfg.path_gradient:
+        py, px = atrous.backproject_pixels(
+            gbuf, history.lut, history.view, history.proj, cfg
+        )
+    if cfg.path_gradient:
+        # A-SVGF path-space gradient (config.py): re-trace last frame's
+        # samples under the current light; max() with the Phong proxy
+        # (disjoint blind spots -- see ops/pathgrad.py).
+        lam = jnp.maximum(
+            lam,
+            pathgrad.path_gradient_pass(
+                tri_data, light, frame_idx, cfg,
+                history.noisy_lum, history.cam_pos, history.cam_rot,
+                py, px, gbuf.visibility, history.visibility,
+            ),
+        )
+
     # -- pass 3: path trace (raytrace.comp.glsl) --
     noisy = pathtrace.path_trace_pass(
         tri_data, camera.position, light, frame_idx, cfg,
         rotation=camera.rotation,
     )
+    noisy_lum = atrous.luminance(noisy) if cfg.path_gradient else None
 
     # -- pass 4: a-trous filter + temporal EMA (temporalFiltering.comp.glsl) --
     if cfg.demodulate_albedo:
@@ -144,11 +182,6 @@ def render_frame_impl(
         )
         noisy = atrous.demodulate(noisy, demod_s)
     normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
-    py = px = None
-    if cfg.variance_guided or cfg.accumulation_ramp:
-        py, px = atrous.backproject_pixels(
-            gbuf, history.lut, history.view, history.proj, cfg
-        )
     age = None
     if cfg.accumulation_ramp:
         # SVGF accumulation ramp (config.py): per-pixel history length,
@@ -204,6 +237,9 @@ def render_frame_impl(
         frame=frame_idx + 1,
         moments=moments,
         age=age,
+        noisy_lum=noisy_lum,
+        cam_pos=jnp.asarray(camera.position) if cfg.path_gradient else None,
+        cam_rot=jnp.asarray(camera.rotation) if cfg.path_gradient else None,
     )
     if cfg.demodulate_albedo:
         # display radiance; history stays demodulated
@@ -249,6 +285,25 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
             tri_data, camera.position, light, frame_idx, cfg,
             interpret=interpret, planar=True, rotation=camera.rotation,
         )
+    noisy_lum = atrous.luminance_planes(*noisy) if cfg.path_gradient else None
+    lam_plane = geo.lam
+    if cfg.path_gradient:
+        if pt_mod.trace_needs_streaming(tri_data):
+            # The gradient re-trace runs through the dense XLA tracer at
+            # 1/stratum^2 resolution -- fine for SMEM-class scenes, O(N*T)
+            # beyond. Keep the Phong-only lambda there rather than paying
+            # minutes per frame.
+            _warn_pathgrad_streaming_once()
+        else:
+            lam_plane = jnp.maximum(
+                lam_plane,
+                pathgrad.path_gradient_pass(
+                    tri_data, light, frame_idx, cfg,
+                    history.noisy_lum, history.cam_pos, history.cam_rot,
+                    geo.prev_y, geo.prev_x, geo.visibility,
+                    history.visibility,
+                ),
+            )
     if cfg.demodulate_albedo:
         demod_s = atrous.demod_scale(geo.albedo, cfg)
         noisy = tuple(atrous.demodulate(c, demod_s) for c in noisy)
@@ -271,7 +326,7 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         # keeps the moving-camera blend off the ~13 ms XLA gather
         rgb, age = atrous_pl.temporal_blend_pallas(
             filtered, history.image, geo.prev_y, geo.prev_x, frame_idx,
-            geo.lam, cfg, interpret=interpret,
+            lam_plane, cfg, interpret=interpret,
             prev_age=history.age, prev_vis=history.visibility,
             cur_vis=geo.visibility,
         )
@@ -279,7 +334,7 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         age = None
         rgb = atrous_pl.temporal_blend_pallas(
             filtered, history.image, geo.prev_y, geo.prev_x, frame_idx,
-            geo.lam, cfg, interpret=interpret,
+            lam_plane, cfg, interpret=interpret,
         )
     new_history = History(
         image=rgb,
@@ -292,6 +347,9 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         frame=frame_idx + 1,
         moments=moments,
         age=age,
+        noisy_lum=noisy_lum,
+        cam_pos=jnp.asarray(camera.position) if cfg.path_gradient else None,
+        cam_rot=jnp.asarray(camera.rotation) if cfg.path_gradient else None,
     )
     if cfg.demodulate_albedo:
         # display radiance; history stays demodulated
@@ -341,4 +399,11 @@ def init_history(tri_data: TriangleData, cfg: RenderConfig) -> History:
             if cfg.accumulation_ramp
             else None
         ),
+        noisy_lum=(
+            jnp.zeros((cfg.height, cfg.width), jnp.float32)
+            if cfg.path_gradient
+            else None
+        ),
+        cam_pos=jnp.asarray(camera.position) if cfg.path_gradient else None,
+        cam_rot=jnp.asarray(camera.rotation) if cfg.path_gradient else None,
     )

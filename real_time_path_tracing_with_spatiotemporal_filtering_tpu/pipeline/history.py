@@ -39,6 +39,13 @@ class History:
     # (H, W) per-pixel consecutive-history length N for the SVGF
     # accumulation ramp; None unless cfg.accumulation_ramp (see config.py).
     age: jnp.ndarray | None = None
+    # A-SVGF path-space gradient state (None unless cfg.path_gradient):
+    # the previous frame's raw (pre-demodulation) noisy trace luminance and
+    # the camera it was traced with, so the gradient pass can re-trace the
+    # exact same samples under the current light (ops/pathgrad.py).
+    noisy_lum: jnp.ndarray | None = None   # (H, W)
+    cam_pos: jnp.ndarray | None = None     # (3,)
+    cam_rot: jnp.ndarray | None = None     # (3, 3) camera->world
 
     @property
     def height(self) -> int:

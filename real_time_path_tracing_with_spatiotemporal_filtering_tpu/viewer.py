@@ -68,6 +68,7 @@ def run_viewer(args) -> None:
         nee=args.nee, rr_start_bounce=args.rr_start_bounce,
         variance_guided=args.ramp, accumulation_ramp=args.ramp,
         adaptive_alpha=args.ramp,
+        path_gradient=args.path_gradient,
     )
     scene = (
         ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))
@@ -140,6 +141,9 @@ def main() -> None:
     parser.add_argument("--ramp", action="store_true",
                         help="best interactive quality: variance-guided "
                         "SVGF + accumulation ramp + adaptive alpha")
+    parser.add_argument("--path-gradient", action="store_true",
+                        help="A-SVGF path-space temporal gradient "
+                        "(re-traced sparse samples; combine with --ramp)")
     parser.add_argument("--no-preview", action="store_true")
     run_viewer(parser.parse_args())
 

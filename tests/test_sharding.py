@@ -342,3 +342,46 @@ def test_sharded_frame_demodulated(cornell_tri_data):
     np.testing.assert_allclose(
         np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_sharded_frame_path_gradient(cornell_tri_data):
+    """The A-SVGF path-space gradient shards by stratum rows: the re-trace
+    is local compute and the two history gathers ride the windowed halo
+    exchange, so a sharded frame (with a moving light making the gradient
+    fire) must match single-chip (to fusion rounding: XLA fuses the
+    luminance dot differently under shard_map, ~1 ULP)."""
+    cfg = dataclasses.replace(
+        CFG, variance_guided=True, adaptive_alpha=True, path_gradient=True
+    )
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    cam = Camera.default()
+    light = Light.default()
+    for i in range(3):
+        if i >= 1:
+            light = dataclasses.replace(
+                light,
+                position=np.asarray(light.position) + np.float32([0.4, 0, 0]),
+            )
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(hist_s.noisy_lum), np.asarray(hist_ref.noisy_lum),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_path_gradient_stratum_validation():
+    cfg = dataclasses.replace(
+        CFG, height=40, adaptive_alpha=True, path_gradient=True
+    )
+    # 40 / 8 = 5 rows per shard, not divisible by stratum 3
+    with pytest.raises(ValueError, match="gradient_stratum"):
+        frame_sharded.make_sharded_frame(cfg, sharding.make_mesh(8))
