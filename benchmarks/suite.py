@@ -92,6 +92,23 @@ def run_suite(quick: bool):
         ("cornell_512_svgf_ramp_nonparity", bench_renderer(cornell(cfg2ramp), frames))
     )
 
+    # 2e. (extra, non-parity) + the A-SVGF path-space gradient: one
+    # re-traced sample per 3x3 stratum under the current light -- tracks
+    # the feature's frame cost (~1/9 of a 1-spp trace) next to 2d
+    cfg2pg = dataclasses.replace(
+        cfg2, accumulation_ramp=True, path_gradient=True
+    )
+
+    def light_drift(r, i):
+        r.move_light(dx=0.05)
+
+    results.append(
+        (
+            "cornell_512_svgf_ramp_pathgrad_nonparity",
+            bench_renderer(cornell(cfg2pg), frames, light_drift),
+        )
+    )
+
     # 3. orbiting camera, full A-SVGF with adaptive alpha, 1080p
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
         Camera,
