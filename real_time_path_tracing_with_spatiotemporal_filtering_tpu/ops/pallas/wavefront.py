@@ -54,9 +54,14 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtra
     scene_bounds_from_clusters,
 )
 
-# Default sub-block header walk for the wavefront tracer; flipped by the
-# hardware A/B (benchmarks/scaling.py --hdr-lanes). False = row-major
-# per-sub-block whole-tile slab tests (round-2 behavior).
+# Sub-block header walk for the wavefront tracer. False = row-major
+# per-sub-block whole-tile slab tests. The lane-parallel variant
+# (hdr_lanes=True) was MEASURED AND REJECTED on hardware
+# (benchmarks/hdr_lanes_ab.py, v5e, 1080p 1spp): 2289 vs 1732 ms at 32k
+# tris, 9596 vs 4908 ms at 248k — the transposed header DMA + cross-lane
+# reductions cost more than the 10x fewer header vector ops save. Kept
+# flag-gated for re-testing on future hardware (bit-identical output,
+# parity tests in tests/test_pallas.py).
 DEFAULT_HDR_LANES = False
 
 _U = jnp.uint32
