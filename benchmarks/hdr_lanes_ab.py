@@ -3,8 +3,9 @@
 Both arms in ONE process (shared axon warmup + scene prep) so the numbers
 are comparable. Measured outcome (v5e, 1080p 1spp, 2026-08): hdr_lanes
 REJECTED — 2289 vs 1732 ms at 32k tris, 9596 vs 4908 ms at 248k; see
-docs/DESIGN_ROUND3.md. Run: python -m benchmarks.hdr_lanes_ab
+docs/DESIGN_ROUND3.md. Run: python -m benchmarks.hdr_lanes_ab [--frames N]
 """
+import argparse
 import time
 
 import numpy as np
@@ -13,10 +14,17 @@ import jax.numpy as jnp
 
 import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
-    pathtrace as pt_mod,
     wavefront as wf_mod,
 )
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import procedural
+
+parser = argparse.ArgumentParser()
+parser.add_argument(
+    "--frames", type=int, default=5,
+    help="timed frames per arm (raise for close comparisons; the recorded "
+    "round-2 gaps of 30-95%% were clear at 2)",
+)
+cli = parser.parse_args()
 
 print(f"# device: {jax.devices()[0]}", flush=True)
 # warm up the axon tunnel (first transfer can stall minutes)
@@ -43,7 +51,7 @@ def time_fn(fn, frames):
     return (time.perf_counter() - t0) / frames * 1000.0
 
 
-for splits, frames in [(32, 2), (88, 2)]:
+for splits, frames in [(32, cli.frames), (88, cli.frames)]:
     verts, idx = procedural.subdivided_cornell(splits)
     scene = ptsf.Scene.from_arrays(verts, idx)
     td = ptsf.precompute_triangle_data(scene)

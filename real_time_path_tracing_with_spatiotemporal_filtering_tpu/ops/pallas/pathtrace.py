@@ -1867,10 +1867,15 @@ def path_trace_pass_pallas(
     Uses the merged coplanar-pair table when TriangleData carries one
     (pack_shading_pairs); falls back to per-triangle tests otherwise.
 
-    ``stream_tables`` (experimental, requires a clustered scene): keep the
+    ``stream_tables`` (oracle mode, requires a clustered scene): keep the
     pair table in HBM (rows padded to 128 columns for DMA alignment) and
     stream each visited cluster's block into VMEM scratch -- removes the
-    on-chip table size cap (docs/DESIGN_ROUND2.md section 1a)."""
+    on-chip table size cap (docs/DESIGN_ROUND2.md section 1a). NOT a
+    production path: frames route streaming scenes to the wavefront
+    tracer (pipeline/frame.py); this mode survives as the second,
+    independently-structured implementation behind the
+    wavefront==megakernel bit-parity tests (tests/test_pallas.py) and
+    benchmarks/scaling.py."""
     h = cfg.height if rows is None else rows
     w = cfg.width
     pair_table = getattr(tri_data, "pair_table", None)
