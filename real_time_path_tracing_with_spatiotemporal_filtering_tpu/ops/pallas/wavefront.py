@@ -498,6 +498,68 @@ def path_trace_wavefront(
     not production."""
     h = cfg.height if rows is None else rows
     w = cfg.width
+    pix = jnp.arange(h * w, dtype=jnp.int32)
+    out = _wavefront_core(
+        tri_data, camera_pos, light, frame_idx, cfg,
+        pix % w, pix // w + row_offset,
+        interpret=interpret, rotation=rotation,
+        collect_stats=collect_stats, sort_mode=sort_mode, tile_w=tile_w,
+        hdr_lanes=hdr_lanes,
+    )
+    if collect_stats:
+        (r, g, b), stats = out
+    else:
+        r, g, b = out
+    r_img = r.reshape(h, w)
+    g_img = g.reshape(h, w)
+    b_img = b.reshape(h, w)
+    if planar:
+        img = (r_img, g_img, b_img)
+    else:
+        img = jnp.stack([r_img, g_img, b_img], axis=-1)
+    if collect_stats:
+        return img, stats
+    return img
+
+
+def trace_pixels_wavefront(
+    tri_data, camera_pos, light, frame_idx, px, py, cfg,
+    rotation=None, interpret=False, sort_mode=DEFAULT_SORT_MODE,
+    tile_w=None, hdr_lanes=None,
+):
+    """Wavefront twin of ops.pathtrace.trace_pixels: trace EXPLICIT global
+    pixel coordinate arrays through the HBM-streamed wavefront tracer.
+
+    Seeds and rays are pure functions of the global coordinates
+    (raytrace.comp.glsl:273-344 semantics, same PCG streams), so tracing
+    any subset of pixels is bitwise identical to the same pixels of a
+    full-frame trace. This is the streamed-scene backend for the A-SVGF
+    path-space gradient re-trace (ops/pathgrad.py), whose stratum samples
+    are exactly such a sparse pixel subset. Returns ``px.shape + (3,)``
+    radiance."""
+    shape = px.shape
+    r, g, b = _wavefront_core(
+        tri_data, camera_pos, light, frame_idx, cfg,
+        jnp.asarray(px, jnp.int32).reshape(-1),
+        jnp.asarray(py, jnp.int32).reshape(-1),
+        interpret=interpret, rotation=rotation,
+        sort_mode=sort_mode, tile_w=tile_w, hdr_lanes=hdr_lanes,
+    )
+    return jnp.stack(
+        [r.reshape(shape), g.reshape(shape), b.reshape(shape)], axis=-1
+    )
+
+
+def _wavefront_core(
+    tri_data, camera_pos, light, frame_idx, cfg, px_flat, py_flat,
+    *, interpret=False, rotation=None, collect_stats=False,
+    sort_mode=DEFAULT_SORT_MODE, tile_w=None, hdr_lanes=None,
+):
+    """Shared wavefront trace over a flat list of global pixel coords.
+
+    Returns the normalized (n_pix,) radiance planes (r, g, b) in input
+    order (plus the stats list when ``collect_stats``). Rays beyond
+    ``n_pix`` (tile padding) start dead and contribute nothing."""
     if hdr_lanes is None:
         hdr_lanes = DEFAULT_HDR_LANES
     pair_table = tri_data.pair_table
@@ -540,7 +602,7 @@ def path_trace_wavefront(
     cam = jnp.asarray(camera_pos, jnp.float32)
     lo, inv_size, inv_diam, hi = _scene_bounds(cluster_aabbs)
 
-    n_pix = h * w
+    n_pix = int(px_flat.shape[0])
     # Rays per kernel program: (TILE_H, tw). The vector unit's register is
     # (8, 128); at tw=512 every whole-tile traversal op costs 4 vregs. A
     # narrower tile never increases total row-phase vector work (the four
@@ -554,9 +616,16 @@ def path_trace_wavefront(
     n_rows = n // tw
 
     # --- ray generation (XLA; same PCG stream as the megakernel) ---
+    # Pad rays start dead (in_image=0): their seeds/dirs are computed from
+    # pixel (0, 0) but never traced, and the final [:n_pix] drops them.
     pix = jnp.arange(n, dtype=jnp.int32)
-    py = jnp.minimum(pix // w, h - 1) + row_offset
-    px = jnp.where(pix < n_pix, pix % w, 0)
+    pad = n - n_pix
+    if pad:
+        zeros_pad = jnp.zeros((pad,), jnp.int32)
+        px = jnp.concatenate([px_flat, zeros_pad])
+        py = jnp.concatenate([py_flat, zeros_pad])
+    else:
+        px, py = px_flat, py_flat
     in_image = pix < n_pix
     frame_term = (
         jnp.asarray(frame_idx, jnp.int32).astype(jnp.uint32)
@@ -766,13 +835,7 @@ def path_trace_wavefront(
             acc_b = acc_b + b_p
 
     norm = jnp.float32(1.0 / (cfg.spp * cfg.sample_batches))
-    r_img = (acc_r * norm)[:n_pix].reshape(h, w)
-    g_img = (acc_g * norm)[:n_pix].reshape(h, w)
-    b_img = (acc_b * norm)[:n_pix].reshape(h, w)
-    if planar:
-        out = (r_img, g_img, b_img)
-    else:
-        out = jnp.stack([r_img, g_img, b_img], axis=-1)
+    out = tuple((acc * norm)[:n_pix] for acc in (acc_r, acc_g, acc_b))
     if collect_stats:
         return out, stats_out
     return out

@@ -98,6 +98,7 @@ def retrace_lambda(
     vis_then,
     cam_pos_prev,
     cam_rot_prev,
+    trace_fn=None,
 ):
     """The sparse normalized gradient at the chosen stratum pixels.
 
@@ -108,8 +109,16 @@ def retrace_lambda(
     Gathers (``l_old``, ``vis_*``) are the caller's job: the single-chip
     pass indexes history planes directly; the sharded frame resolves them
     through its windowed halo exchange.
+
+    ``trace_fn``: explicit-pixel tracer with trace_pixels' signature;
+    defaults to the dense XLA tracer. HBM-streamed scenes pass the
+    wavefront twin (ops.pallas.wavefront.trace_pixels_wavefront), which is
+    bitwise identical -- the gradient is a pure function of the sampled
+    estimator, not of the tracer that evaluates it.
     """
-    rgb_new = pathtrace.trace_pixels(
+    if trace_fn is None:
+        trace_fn = pathtrace.trace_pixels
+    rgb_new = trace_fn(
         tri_data,
         cam_pos_prev,
         light,
@@ -145,6 +154,7 @@ def path_gradient_pass(
     prev_x,
     cur_vis,
     prev_vis,
+    trace_fn=None,
 ):
     """The dense path-space lambda image (H, W) in [0, 1].
 
@@ -153,7 +163,8 @@ def path_gradient_pass(
     frame traced with. ``prev_y``/``prev_x``: this frame's dense
     backprojection map (atrous.backproject_pixels). ``light``: the CURRENT
     light -- the re-trace holds everything else fixed so the luminance
-    difference isolates the shading change.
+    difference isolates the shading change. ``trace_fn``: see
+    :func:`retrace_lambda`.
     """
     h, w = cur_vis.shape
     stratum = cfg.gradient_stratum
@@ -167,7 +178,7 @@ def path_gradient_pass(
         tri_data, light, frame_idx, cfg,
         noisy_lum_prev[pyg, pxg], pyg, pxg,
         cur_vis[gy, gx], prev_vis[pyg, pxg],
-        cam_pos_prev, cam_rot_prev,
+        cam_pos_prev, cam_rot_prev, trace_fn=trace_fn,
     )
 
     # Sparse-gradient reconstruction: box-filter at stratum resolution

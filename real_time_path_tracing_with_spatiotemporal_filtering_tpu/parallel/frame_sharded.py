@@ -74,7 +74,7 @@ def _history_spec(
 
 def _path_gradient_shard(
     tri_data, light, frame_idx, cfg, history_local, py, px, visibility,
-    reproj_vis, row_offset, local_h, axis,
+    reproj_vis, row_offset, local_h, axis, trace_fn=None,
 ):
     """This shard's rows of the A-SVGF path-space gradient (ops/pathgrad.py).
 
@@ -108,7 +108,7 @@ def _path_gradient_shard(
         tri_data, light, frame_idx, cfg,
         reproj_lum[gy_loc, gx], pyg, pxg,
         visibility[gy_loc, gx], reproj_vis[gy_loc, gx],
-        history_local.cam_pos, history_local.cam_rot,
+        history_local.cam_pos, history_local.cam_rot, trace_fn=trace_fn,
     )
     for _ in range(cfg.gradient_filter_iters):
         lam = pathgrad.box3_filter(lam, exchange_row_halo(lam, 1, axis))
@@ -228,19 +228,26 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         )
 
         if use_pallas and _pt_mod.trace_needs_streaming(tri_data):
-            # same routing as the single-chip Pallas frame: the gradient
-            # re-trace would hit the dense O(N*T) tracer -- keep the
-            # Phong-only lambda for HBM-streamed scenes.
-            pass
-        else:
-            lam = jnp.maximum(
-                lam,
-                _path_gradient_shard(
-                    tri_data, light, frame_idx, cfg, history_local,
-                    py, px, visibility, reproj_vis, row_offset, local_h,
-                    axis,
-                ),
+            # same routing as the single-chip Pallas frame: the stratum
+            # re-trace goes through the wavefront tracer's explicit-pixel
+            # twin (local compute; rays are functions of global coords).
+            from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+                wavefront as _wf_mod,
             )
+
+            trace_fn = functools.partial(
+                _wf_mod.trace_pixels_wavefront, interpret=interpret
+            )
+        else:
+            trace_fn = None
+        lam = jnp.maximum(
+            lam,
+            _path_gradient_shard(
+                tri_data, light, frame_idx, cfg, history_local,
+                py, px, visibility, reproj_vis, row_offset, local_h,
+                axis, trace_fn=trace_fn,
+            ),
+        )
     age = None
     if cfg.accumulation_ramp:
         # SVGF accumulation ramp: the age and previous-visibility planes

@@ -74,24 +74,6 @@ def _warn_fallback_once(num_rows: int, cap: int) -> None:
     )
 
 
-_warned_pathgrad = False
-
-
-def _warn_pathgrad_streaming_once() -> None:
-    global _warned_pathgrad
-    if _warned_pathgrad:
-        return
-    _warned_pathgrad = True
-    import warnings
-
-    warnings.warn(
-        "path_gradient is disabled for HBM-streamed scenes (the gradient "
-        "re-trace uses the dense O(pixels x triangles) tracer); the frame "
-        "keeps the reference's Phong-proxy temporal gradient instead.",
-        stacklevel=3,
-    )
-
-
 def _use_pallas(cfg: RenderConfig, tri_data=None) -> bool:
     if cfg.backend == "xla":
         return False
@@ -289,21 +271,28 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
     lam_plane = geo.lam
     if cfg.path_gradient:
         if pt_mod.trace_needs_streaming(tri_data):
-            # The gradient re-trace runs through the dense XLA tracer at
-            # 1/stratum^2 resolution -- fine for SMEM-class scenes, O(N*T)
-            # beyond. Keep the Phong-only lambda there rather than paying
-            # minutes per frame.
-            _warn_pathgrad_streaming_once()
-        else:
-            lam_plane = jnp.maximum(
-                lam_plane,
-                pathgrad.path_gradient_pass(
-                    tri_data, light, frame_idx, cfg,
-                    history.noisy_lum, history.cam_pos, history.cam_rot,
-                    geo.prev_y, geo.prev_x, geo.visibility,
-                    history.visibility,
-                ),
+            # HBM-streamed scenes: the stratum re-trace (1/stratum^2 of a
+            # 1-spp trace) routes through the wavefront tracer's
+            # explicit-pixel twin -- bitwise identical to the dense XLA
+            # tracer, affordable at any scene size.
+            from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+                wavefront as wf_mod,
             )
+
+            trace_fn = functools.partial(
+                wf_mod.trace_pixels_wavefront, interpret=interpret
+            )
+        else:
+            trace_fn = None
+        lam_plane = jnp.maximum(
+            lam_plane,
+            pathgrad.path_gradient_pass(
+                tri_data, light, frame_idx, cfg,
+                history.noisy_lum, history.cam_pos, history.cam_rot,
+                geo.prev_y, geo.prev_x, geo.visibility,
+                history.visibility, trace_fn=trace_fn,
+            ),
+        )
     if cfg.demodulate_albedo:
         demod_s = atrous.demod_scale(geo.albedo, cfg)
         noisy = tuple(atrous.demodulate(c, demod_s) for c in noisy)

@@ -178,6 +178,99 @@ def test_frame_smoke_and_xla_pallas_parity():
     np.testing.assert_allclose(outs["xla"], outs["pallas"], atol=2e-5)
 
 
+def _streamed_tri_data():
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+        pathtrace as pt_mod,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        precompute_triangle_data,
+    )
+
+    td = precompute_triangle_data(
+        ptsf.Scene.from_arrays(*procedural.subdivided_cornell(12))
+    )
+    assert pt_mod.trace_needs_streaming(td)  # the route under test
+    return td
+
+
+def test_trace_pixels_wavefront_matches_full_and_dense():
+    """The wavefront explicit-pixel twin is bitwise identical to the same
+    pixels of a full-frame wavefront trace (the property the streamed
+    gradient re-trace relies on) and matches the dense XLA tracer to
+    kernel tolerance."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+        wavefront as wf_mod,
+    )
+
+    cfg = dataclasses.replace(
+        CFG, adaptive_alpha=False, path_gradient=False, max_bounces=3
+    )
+    td = _streamed_tri_data()
+    cam, light = Camera.default(), Light.default()
+    full = wf_mod.path_trace_wavefront(
+        td, cam.position, light, 3, cfg, interpret=True,
+        rotation=cam.rotation,
+    )
+    rng = np.random.default_rng(0)
+    py = jnp.asarray(rng.integers(0, cfg.height, (5, 7)), jnp.int32)
+    px = jnp.asarray(rng.integers(0, cfg.width, (5, 7)), jnp.int32)
+    sub = wf_mod.trace_pixels_wavefront(
+        td, cam.position, light, 3, px, py, cfg, interpret=True,
+        rotation=cam.rotation,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sub), np.asarray(full)[np.asarray(py), np.asarray(px)]
+    )
+    dense = pathtrace.trace_pixels(
+        td, jnp.asarray(cam.position), light, jnp.int32(3), px, py, cfg,
+        rotation=jnp.asarray(cam.rotation),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sub), np.asarray(dense), rtol=0, atol=1e-6
+    )
+
+
+def test_frame_path_gradient_streamed_scene():
+    """A beyond-SMEM scene keeps the FULL path-space gradient: the stratum
+    re-trace routes through the wavefront tracer instead of warning and
+    falling back to the Phong-only lambda (round-2 behavior)."""
+    import warnings
+
+    td = _streamed_tri_data()
+    cfg = dataclasses.replace(
+        CFG, backend="pallas", max_bounces=3, wavelet_iterations=3
+    )
+    light0 = Light.default()
+
+    def run(pg):
+        c = dataclasses.replace(cfg, path_gradient=pg)
+        hist = frame_mod.init_history(td, c)
+        cam = Camera.default()
+        out = None
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any fallback warning fails
+            for i in range(3):
+                light = dataclasses.replace(
+                    light0,
+                    position=np.asarray(light0.position, np.float32)
+                    + np.array([0.6 * i, 0.0, 0.0], np.float32),
+                )
+                out, hist = frame_mod.render_frame_impl(
+                    td, Camera.default(), light, hist, c
+                )
+        return np.asarray(out), hist
+
+    with_pg, hist = run(True)
+    assert np.isfinite(with_pg).all()
+    assert hist.noisy_lum is not None
+    without_pg, _ = run(False)
+    # the gradient signal must actually reach the blend on streamed scenes
+    assert np.abs(with_pg - without_pg).max() > 1e-4
+
+
 def test_history_state_carried_only_when_enabled():
     r = ptsf.Renderer(
         ptsf.Scene.cornell_box(),
