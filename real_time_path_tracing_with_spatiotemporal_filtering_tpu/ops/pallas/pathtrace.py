@@ -871,25 +871,43 @@ def _ordered_stream_loop(
     ox, oy, oz, dx, dy, dz, alive, inv_diam,
     row_fn, init_state,
     bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
-    counters=None, hdr=None,
+    counters=None, hdr=None, probe=None,
 ):
     """Streamed nearest-hit traversal in approximate front-to-back order.
 
-    Three phases, all per (tile, call):
-      A. slab-test every cluster (through the supercluster level when
-         present), appending visited ones to a compact list (bins_ref) as
-         packed (distance_bin << 16) | cluster entries -- O(visited)
-         everywhere after this, never O(num_clusters);
+    Three phase KINDS (visit / sort / walk), composed once per (tile,
+    call) when the scene has no supercluster level:
+      A. slab-test every cluster, appending visited ones to a compact
+         list (bins_ref) as packed (distance_bin << 16) | cluster entries
+         -- O(visited) everywhere after this, never O(num_clusters);
       B. counting-sort the visited list into ids_ref (cnt_ref holds the
          bin offsets) -- near bins first;
       C. walk the sorted list with two HBM->SMEM DMA buffers in flight
-         (prefetch distance 2), re-testing each cluster against the
-         *current* per-lane best before running its row loop: once a bin's
-         lower-bound distance exceeds every live lane's committed hit, the
-         remaining clusters' row loops are skipped (their DMAs still run:
-         starts and waits must stay balanced). Within a run cluster the
-         passing sub-block ids are compacted into cnt_ref (free after B)
-         and their rows run in one dynamic-trip loop, cond-free.
+         (prefetch distance 2): each entry is slab-tested against the
+         *current* per-lane best at ISSUE time (prefetch distance 2 ahead
+         of its wait slot) and its DMA + row phase skipped outright when
+         no live lane can improve inside it or its bin lower bound exceeds
+         every live lane's committed hit -- both conditions are monotone
+         in the evolving best, so the skip is bit-identical
+         (prune-at-issue; the verdict rides in bins_ref, dead storage
+         after B's scatter). Within a run cluster the passing sub-block
+         ids are compacted into cnt_ref (free after B) and their rows run
+         in one dynamic-trip loop, cond-free.
+
+    With a supercluster level the composition is SUPER-MAJOR, the TPU
+    stand-in for per-ray BVH descent order (raytrace.comp.glsl:208-222):
+      A1/B1: slab-test only the num_supers super boxes, sort the passing
+         ones by entry-distance bin into ids_ref's tail;
+      C1: a scalar while_loop walks supers near-first and EXITS once the
+         current super's bin lower bound exceeds every live lane's
+         committed best (entries are bin-sorted, so the bound is monotone
+         along the walk -- nothing beyond it can improve any lane). Each
+         run super's ssize clusters are then visit/sort/walk'd (A2/B2/C2,
+         exactly the flat phases) against the EVOLVING best. Clusters of
+         far supers are never slab-tested at all: at Sponza scale the
+         round-2 flat phase A tested every cluster per tile-segment
+         (~480 visited, ~16 run, docs/DESIGN_ROUND3.md) while tiles
+         typically commit all their hits inside their first super or two.
 
     ``table_ref`` must be laid out by :func:`assemble_stream_table`: each
     cluster's block is a sub-AABB header followed by its csize table rows.
@@ -913,14 +931,26 @@ def _ordered_stream_loop(
     row-major mode); ``state[0]`` must be the per-lane best hit t.
     ``counters`` (optional (8,) int32 SMEM ref, pre-zeroed) collects
     traversal statistics without touching the computed state:
-    [0] visited clusters, [1] super groups passed, [2] cluster row phases
-    run, [3] sum of per-run live-lane counts, [4] sub-blocks run,
-    [5] sum of per-sub-block live-lane counts, [6] visited clusters whose
-    row phase was skipped (bin-pruned or no live lane).
+    [0] visited clusters, [1] super groups descended (their clusters
+    slab-tested), [2] cluster row phases run, [3] sum of per-run
+    live-lane counts, [4] sub-blocks run, [5] sum of per-sub-block
+    live-lane counts, [6] visited clusters whose row phase was skipped
+    (pruned at issue or at wait).
     Returns the final state. Ordering only changes which primitives are
     *tested*, never the committed nearest hit (strict < keeps the first
     packed row on exact ties within a cluster; cross-cluster exact-t ties
     between non-coplanar primitives are measure-zero).
+
+    ``probe``: optional (scale, which) DOUBLING probe for time breakdown
+    (benchmarks/wavefront_breakdown.py). ``scale`` is a traced f32 that is
+    1.0 AT RUNTIME but unknown at compile time; the phase named by
+    ``which`` ('visits' | 'issue' | 'skeleton' | 'headers' | 'rows') runs
+    a second time with its ray inputs multiplied by it -- structurally
+    distinct expressions (never CSE'd), bit-identical values (x*1.0 is
+    exact), results parked in dead SMEM slots (never DCE'd). The frame
+    output is bit-identical and the extra wall time IS that phase's cost,
+    which a per-op cost model cannot give (round 2's model mispredicted
+    two A/Bs; see docs/DESIGN_ROUND3.md). Row-major headers only.
     """
     assert num_clusters < (1 << 16), "packed visit entries hold 16-bit ids"
     tiny = jnp.float32(1e-12)
@@ -930,16 +960,33 @@ def _ordered_stream_loop(
     nbins_f = jnp.float32(NBINS)
     bin_w = 1.0 / (inv_diam * nbins_f)  # bin lower-bound distance step
 
-    # --- phase A: append visited clusters to a compact list ---
-    # Append-only into (vids, vbins): every phase is O(visited), never
-    # O(num_clusters) -- the old dense bins array cost three O(C) scalar
-    # loops (clear/count/scatter) per tile per call, ~2 s/frame at
-    # Sponza-scale C. Entries are packed as (bin << 16) | cluster into ONE
-    # SMEM slot per visit (halves the scalar writes; C < 2^16 enforced by
-    # hierarchy_sizes' csize floor of 8 and the HBM table size).
-    def test_cluster(c, n):
-        tmin, ok = _slab_test(caabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz)
-        near = alive & ok
+    p_scale, p_which = probe if probe is not None else (None, None)
+    if p_which is not None:
+        assert hdr is None, "doubling probes support row-major headers only"
+
+    def dup_slab(aabb_ref, c, best):
+        """One perturbed-but-identical slab test for the doubling probes;
+        the caller must store the scalar result somewhere dead (else DCE)."""
+        tmin, ok = _slab_test(
+            aabb_ref, c, ox * p_scale, oy * p_scale, oz * p_scale,
+            inv_dx, inv_dy, inv_dz,
+        )
+        return jnp.any(alive & ok & (tmin < best)).astype(jnp.int32)
+
+    # --- visit phase: append one box's packed entry when it can still
+    # matter. Append-only: every later phase is O(visited), never
+    # O(num_clusters) (a dense bins array cost three O(C) scalar loops per
+    # tile per call, ~2 s/frame at Sponza-scale C). Entries pack as
+    # (bin << 16) | id into ONE SMEM slot per visit (C < 2^16 enforced by
+    # hierarchy_sizes' csize floor of 8 and the HBM table size). ``best``
+    # prunes at visit time: a lane whose committed hit is nearer than the
+    # box entry can never improve inside it (row t >= box tmin; strict <
+    # in the row update), so dropping the box is bit-identical. At init
+    # ``best`` is the caller's cap (t_exit clamp / NEE sphere entry);
+    # inside the super walk it is the evolving best.
+    def visit_entry(aabb_ref, c, best, n):
+        tmin, ok = _slab_test(aabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz)
+        near = alive & ok & (tmin < best)
         tmin_pos = jnp.min(
             jnp.where(near, jnp.maximum(tmin, 0.0), jnp.float32(3.4e38))
         )
@@ -947,7 +994,7 @@ def _ordered_stream_loop(
             (tmin_pos * inv_diam * nbins_f).astype(jnp.int32), 0, NBINS - 1
         )
 
-        # tmin_pos < 1e30 also rejects DEGENERATE_BOX pad clusters for the
+        # tmin_pos < 1e30 also rejects DEGENERATE_BOX pad boxes for the
         # measure-zero ray aimed exactly at the pad point
         visited = jnp.any(near) & (tmin_pos < jnp.float32(1e30))
 
@@ -957,63 +1004,39 @@ def _ordered_stream_loop(
 
         return n + visited.astype(jnp.int32)
 
-    if num_supers:
-        def super_body(g, n):
-            _, sok = _slab_test(
-                saabb_ref, g, ox, oy, oz, inv_dx, inv_dy, inv_dz
-            )
-            spass = jnp.any(alive & sok)
-            if counters is not None:
-                @pl.when(spass)
-                def _():
-                    counters[1] = counters[1] + 1
+    # --- sort phase: counting sort of bins_ref[0:total_v] by bin into
+    # ids_ref[dst_base:] (near bins first; cnt_ref holds the offsets) ---
+    def counting_sort(total_v, dst_base):
+        def zero_cnt(b, acc):
+            cnt_ref[b] = 0
+            return acc
 
-            def inner(cj, n2):
-                return test_cluster(g * ssize + cj, n2)
+        jax.lax.fori_loop(0, NBINS, zero_cnt, 0)
 
-            return jax.lax.cond(
-                spass,
-                lambda n2: jax.lax.fori_loop(0, ssize, inner, n2),
-                lambda n2: n2,
-                n,
-            )
+        def count(k, acc):
+            cnt_ref[bins_ref[k] >> 16] = cnt_ref[bins_ref[k] >> 16] + 1
+            return acc
 
-        total_v = jax.lax.fori_loop(0, num_supers, super_body, 0)
-    else:
-        total_v = jax.lax.fori_loop(0, num_clusters, test_cluster, 0)
-    if counters is not None:
-        counters[0] = counters[0] + total_v
+        jax.lax.fori_loop(0, total_v, count, 0)
 
-    # --- phase B: counting sort of the visited list by bin ---
-    def zero_cnt(b, acc):
-        cnt_ref[b] = 0
-        return acc
+        def prefix(b, tot):
+            v = cnt_ref[b]
+            cnt_ref[b] = tot
+            return tot + v
 
-    jax.lax.fori_loop(0, NBINS, zero_cnt, 0)
+        total = jax.lax.fori_loop(0, NBINS, prefix, 0)
 
-    def count(k, acc):
-        cnt_ref[bins_ref[k] >> 16] = cnt_ref[bins_ref[k] >> 16] + 1
-        return acc
+        def scatter(k, acc):
+            e = bins_ref[k]
+            pos = cnt_ref[e >> 16]
+            ids_ref[dst_base + pos] = e
+            cnt_ref[e >> 16] = pos + 1
+            return acc
 
-    jax.lax.fori_loop(0, total_v, count, 0)
+        jax.lax.fori_loop(0, total_v, scatter, 0)
+        return total
 
-    def prefix(b, tot):
-        v = cnt_ref[b]
-        cnt_ref[b] = tot
-        return tot + v
-
-    total = jax.lax.fori_loop(0, NBINS, prefix, 0)
-
-    def scatter(k, acc):
-        e = bins_ref[k]
-        pos = cnt_ref[e >> 16]
-        ids_ref[pos] = e
-        cnt_ref[e >> 16] = pos + 1
-        return acc
-
-    jax.lax.fori_loop(0, total_v, scatter, 0)
-
-    # --- phase C: pipelined DMA walk, near bins first ---
+    # --- walk phase: pipelined DMA over sorted cluster entries ---
     nsub = nsub_for(csize)
     hdr_lanes = hdr is not None
     if hdr_lanes:
@@ -1058,19 +1081,45 @@ def _ordered_stream_loop(
             ),
         )
 
-    @pl.when(total > 0)
-    def _():
-        for cp in dma(0, buf0, sem0, hbuf0, hsem0):
-            cp.start()
+    def issue(j, buf, sem, hbuf, hsem, state):
+        """Prune-at-issue: decide entry ``j``'s fate BEFORE streaming it.
 
-    @pl.when(total > 1)
-    def _():
-        for cp in dma(1, buf1, sem1, hbuf1, hsem1):
-            cp.start()
+        A cluster whose bin lower bound already exceeds every live lane's
+        committed best, or that no live lane can still hit nearer than its
+        best, can never run its row phase (``best`` only decreases as hits
+        commit, so both conditions are monotone: false now => false at
+        wait time too). Skipping its DMA is therefore bit-identical -- and
+        at Sponza scale it is most of them: ~480 clusters/tile visit per
+        segment but only ~16 run (docs/DESIGN_ROUND3.md), so the round-2
+        walk streamed ~30x more HBM bytes than the row phase consumed.
+        The verdict lands in bins_ref[j] (dead storage after phase B's
+        scatter) for the wait side to read."""
+        e = ids_ref[j]
+        c = e & cmask
+        best = state[0]
+        max_best = jnp.max(jnp.where(alive, best, jnp.float32(-3.4e38)))
+        lb = (e >> 16).astype(jnp.float32) * bin_w
+        tmin, ok = _slab_test(caabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz)
+        near = alive & ok & (tmin < best)
+        start_it = jnp.any(near) & (lb <= max_best)
+        if p_which == "issue":
+            # doubling probe: dead store, overwritten by the verdict below
+            bins_ref[j] = dup_slab(caabb_ref, c, best)
+        bins_ref[j] = start_it.astype(jnp.int32)
 
-    def slot(k, buf, sem, hbuf, hsem, state):
-        for cp in dma(k, buf, sem, hbuf, hsem):
-            cp.wait()
+        @pl.when(start_it)
+        def _():
+            for cp in dma(j, buf, sem, hbuf, hsem):
+                cp.start()
+
+    def slot(k, buf, sem, hbuf, hsem, state, total):
+        started = bins_ref[k] != 0
+
+        @pl.when(started)
+        def _():
+            for cp in dma(k, buf, sem, hbuf, hsem):
+                cp.wait()
+
         e = ids_ref[k]
         c = e & cmask
         best = state[0]
@@ -1078,6 +1127,10 @@ def _ordered_stream_loop(
         lb = (e >> 16).astype(jnp.float32) * bin_w
         tmin, ok = _slab_test(caabb_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz)
         near = alive & ok & (tmin < best)
+        if p_which == "skeleton":
+            # doubling probe: ids_ref[k] is dead after the read above (its
+            # two consumers, issue(k) and slot(k), have both read it)
+            ids_ref[k] = dup_slab(caabb_ref, c, best)
 
         def run_hdr_lanes(s):
             # ONE interval slab test covers all nsub sub-blocks: boxes sit
@@ -1202,6 +1255,39 @@ def _ordered_stream_loop(
 
                 n_pass = n_pass + run_sb.astype(jnp.int32)
 
+            if p_which == "headers":
+                # doubling probe: re-run every header slab test perturbed;
+                # dead store (see the skeleton probe)
+                n2 = jnp.int32(0)
+                for sb in range(nsub):
+                    lox2 = buf[sb, 0] * p_scale
+                    loy2 = buf[sb, 1] * p_scale
+                    loz2 = buf[sb, 2] * p_scale
+                    hix2, hiy2, hiz2 = buf[sb, 3], buf[sb, 4], buf[sb, 5]
+                    tx0 = (lox2 - ox) * inv_dx
+                    tx1 = (hix2 - ox) * inv_dx
+                    ty0 = (loy2 - oy) * inv_dy
+                    ty1 = (hiy2 - oy) * inv_dy
+                    tz0 = (loz2 - oz) * inv_dz
+                    tz1 = (hiz2 - oz) * inv_dz
+                    tmin_sb = jnp.maximum(
+                        jnp.maximum(
+                            jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)
+                        ),
+                        jnp.minimum(tz0, tz1),
+                    )
+                    tmax_sb = jnp.minimum(
+                        jnp.minimum(
+                            jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)
+                        ),
+                        jnp.maximum(tz0, tz1),
+                    )
+                    ok2 = tmax_sb >= jnp.maximum(tmin_sb, 0.0)
+                    n2 = n2 + jnp.any(
+                        alive & ok2 & (tmin_sb < best0)
+                    ).astype(jnp.int32)
+                ids_ref[k] = n2
+
             def sub_run(i, s2):
                 sb_i = cnt_ref[i]
 
@@ -1210,9 +1296,18 @@ def _ordered_stream_loop(
 
                 return jax.lax.fori_loop(0, k_rows, body, s2)
 
+            if p_which == "rows":
+                # doubling probe: run the row phase twice; the second pass
+                # re-tests the same rows against the already-improved best
+                # and can commit nothing (strict <) -- bit-identical state
+                s = jax.lax.fori_loop(0, n_pass, sub_run, s)
             return jax.lax.fori_loop(0, n_pass, sub_run, s)
 
-        run_c = jnp.any(near) & (lb <= max_best)
+        # Freshness: ``best`` may have dropped since issue-time, so re-test
+        # before paying the header walk (started clusters can still be
+        # pruned here; the reverse -- run without started -- cannot happen,
+        # see issue()'s monotonicity argument).
+        run_c = started & jnp.any(near) & (lb <= max_best)
         if counters is not None:
             @pl.when(run_c)
             def _():
@@ -1229,28 +1324,121 @@ def _ordered_stream_loop(
 
         @pl.when(k + 2 < total)
         def _():
-            for cp in dma(k + 2, buf, sem, hbuf, hsem):
-                cp.start()
+            issue(k + 2, buf, sem, hbuf, hsem, state)
 
         return state
 
-    def body2(kk, state):
-        k0 = 2 * kk
-        state = jax.lax.cond(
-            k0 < total,
-            lambda s: slot(k0, buf0, sem0, hbuf0, hsem0, s),
-            lambda s: s,
-            state,
-        )
-        state = jax.lax.cond(
-            k0 + 1 < total,
-            lambda s: slot(k0 + 1, buf1, sem1, hbuf1, hsem1, s),
-            lambda s: s,
-            state,
-        )
-        return state
+    def walk(total, init_s):
+        @pl.when(total > 0)
+        def _():
+            issue(0, buf0, sem0, hbuf0, hsem0, init_s)
 
-    return jax.lax.fori_loop(0, (total + 1) // 2, body2, init_state)
+        @pl.when(total > 1)
+        def _():
+            issue(1, buf1, sem1, hbuf1, hsem1, init_s)
+
+        def body2(kk, state):
+            k0 = 2 * kk
+            state = jax.lax.cond(
+                k0 < total,
+                lambda s: slot(k0, buf0, sem0, hbuf0, hsem0, s, total),
+                lambda s: s,
+                state,
+            )
+            state = jax.lax.cond(
+                k0 + 1 < total,
+                lambda s: slot(k0 + 1, buf1, sem1, hbuf1, hsem1, s, total),
+                lambda s: s,
+                state,
+            )
+            return state
+
+        return jax.lax.fori_loop(0, (total + 1) // 2, body2, init_s)
+
+    if not num_supers:
+        # flat composition: visit every cluster once, sort, walk
+        tot0 = jax.lax.fori_loop(
+            0,
+            num_clusters,
+            lambda c, n: visit_entry(caabb_ref, c, init_state[0], n),
+            0,
+        )
+        if p_which == "visits":
+            # doubling probe; cnt_ref[0] is dead (zeroed by counting_sort)
+            cnt_ref[0] = jax.lax.fori_loop(
+                0,
+                num_clusters,
+                lambda c, n: n + dup_slab(caabb_ref, c, init_state[0]),
+                0,
+            )
+        if counters is not None:
+            counters[0] = counters[0] + tot0
+        return walk(counting_sort(tot0, 0), init_state)
+
+    # --- super-major composition (see docstring): walk supers near-first
+    # with a best-driven early exit; only run supers get their clusters
+    # slab-tested, against the best as it stands THEN ---
+    tot_s0 = jax.lax.fori_loop(
+        0,
+        num_supers,
+        lambda g, n: visit_entry(saabb_ref, g, init_state[0], n),
+        0,
+    )
+    # sorted supers park in ids_ref's tail, clear of the per-super cluster
+    # region [0, ssize): ssize <= S*(ssize-1) = sbase for S >= 2, and
+    # hierarchy_sizes only builds a super level with S >= 2
+    sbase = num_clusters - num_supers
+    total_s = counting_sort(tot_s0, sbase)
+
+    def s_cond(carry):
+        si, best = carry[0], carry[1]
+        # in-bounds read even at si == total_s (value unused: the < term
+        # is False); sorted bins make lb monotone along the walk, so the
+        # first too-far super proves every later one can't improve any
+        # live lane (lb <= tmin <= any row t inside; strict < commits)
+        e = ids_ref[jnp.minimum(sbase + si, num_clusters - 1)]
+        lb = (e >> 16).astype(jnp.float32) * bin_w
+        max_best = jnp.max(jnp.where(alive, best, jnp.float32(-3.4e38)))
+        return (si < total_s) & (lb <= max_best)
+
+    def s_body(carry):
+        si = carry[0]
+        state = tuple(carry[1:])
+        g = ids_ref[sbase + si] & cmask
+        tmin_s, ok_s = _slab_test(
+            saabb_ref, g, ox, oy, oz, inv_dx, inv_dy, inv_dz
+        )
+        near_s = alive & ok_s & (tmin_s < state[0])
+
+        def descend(state):
+            if counters is not None:
+                counters[1] = counters[1] + 1
+            best0 = state[0]
+
+            def test_c(cj, n):
+                return visit_entry(caabb_ref, g * ssize + cj, best0, n)
+
+            tc0 = jax.lax.fori_loop(0, ssize, test_c, 0)
+            if p_which == "visits":
+                cnt_ref[0] = jax.lax.fori_loop(
+                    0,
+                    ssize,
+                    lambda cj, n: n + dup_slab(
+                        caabb_ref, g * ssize + cj, best0
+                    ),
+                    0,
+                )
+            if counters is not None:
+                counters[0] = counters[0] + tc0
+            return walk(counting_sort(tc0, 0), state)
+
+        state = jax.lax.cond(jnp.any(near_s), descend, lambda s: s, state)
+        return (si + jnp.int32(1),) + tuple(state)
+
+    out = jax.lax.while_loop(
+        s_cond, s_body, (jnp.int32(0),) + tuple(init_state)
+    )
+    return tuple(out[1:])
 
 
 def _nearest_hit_clustered(

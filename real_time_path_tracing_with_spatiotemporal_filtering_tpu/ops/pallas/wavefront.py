@@ -291,7 +291,7 @@ def _scene_bounds(cluster_aabbs):
 def _wavefront_kernel(
     fparams_ref, iparams_ref, table_ref, caabb_ref, saabb_ref,
     *refs, cfg, num_clusters, csize, num_supers, ssize, collect_stats=False,
-    hdr_lanes=False,
+    hdr_lanes=False, probe_which=None,
 ):
     """One bounce segment over a (TILE_H, TILE_W) block of sorted rays.
 
@@ -378,6 +378,9 @@ def _wavefront_kernel(
             row, init,
             bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
             counters=counters, hdr=hdr,
+            probe=(
+                (fparams_ref[14], probe_which) if probe_which else None
+            ),
         )
         best_t, hit = o_s[0], o_s[1] != 0
         shaded = _shade_segment(
@@ -477,7 +480,7 @@ def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
     collect_stats=False, sort_mode=DEFAULT_SORT_MODE, tile_w=None,
-    hdr_lanes=None,
+    hdr_lanes=None, probe_double=None,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
@@ -504,7 +507,7 @@ def path_trace_wavefront(
         pix % w, pix // w + row_offset,
         interpret=interpret, rotation=rotation,
         collect_stats=collect_stats, sort_mode=sort_mode, tile_w=tile_w,
-        hdr_lanes=hdr_lanes,
+        hdr_lanes=hdr_lanes, probe_double=probe_double,
     )
     if collect_stats:
         (r, g, b), stats = out
@@ -554,12 +557,17 @@ def _wavefront_core(
     tri_data, camera_pos, light, frame_idx, cfg, px_flat, py_flat,
     *, interpret=False, rotation=None, collect_stats=False,
     sort_mode=DEFAULT_SORT_MODE, tile_w=None, hdr_lanes=None,
+    probe_double=None,
 ):
     """Shared wavefront trace over a flat list of global pixel coords.
 
     Returns the normalized (n_pix,) radiance planes (r, g, b) in input
     order (plus the stats list when ``collect_stats``). Rays beyond
-    ``n_pix`` (tile padding) start dead and contribute nothing."""
+    ``n_pix`` (tile padding) start dead and contribute nothing.
+
+    ``probe_double``: doubling-probe phase name for the time breakdown
+    ('sort' doubles the XLA ray re-sort; the rest go to the traversal
+    kernel -- see _ordered_stream_loop). Output stays bit-identical."""
     if hdr_lanes is None:
         hdr_lanes = DEFAULT_HDR_LANES
     pair_table = tri_data.pair_table
@@ -645,6 +653,8 @@ def _wavefront_core(
             jnp.asarray(inv_diam, jnp.float32).reshape(1),
             jnp.asarray(lo, jnp.float32).reshape(3),
             jnp.asarray(hi, jnp.float32).reshape(3),
+            # [14]: the doubling probes' runtime-1.0 (compile-time-opaque)
+            jnp.ones((1,), jnp.float32),
         ]
     )
 
@@ -660,6 +670,9 @@ def _wavefront_core(
             num_clusters=num_clusters, csize=csize,
             num_supers=num_supers, ssize=ssize, collect_stats=stats,
             hdr_lanes=hdr_lanes,
+            probe_which=(
+                probe_double if probe_double not in (None, "sort") else None
+            ),
         )
         out_shape = (
             [jax.ShapeDtypeStruct(plane_shape, f32)] * 12
@@ -727,6 +740,11 @@ def _wavefront_core(
              res_r, res_g, res_b, st, alive_i, pix_plane.reshape(n)),
             num_keys=1,
         )
+        if probe_double == "sort":
+            # doubling probe: re-sort the sorted planes (lax.sort is
+            # stable and the network is data-oblivious -- identical
+            # result, representative cost; sort(sort(x)) is not CSE-able)
+            sorted_ops = jax.lax.sort(sorted_ops, num_keys=1)
         planes = tuple(p.reshape(plane_shape) for p in sorted_ops[1:15])
         return planes, sorted_ops[15].reshape(plane_shape)
 
