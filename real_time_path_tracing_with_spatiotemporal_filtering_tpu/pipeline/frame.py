@@ -98,6 +98,7 @@ def render_frame_impl(
     light: Light,
     history: History,
     cfg: RenderConfig,
+    model=None,
 ):
     """One frame: (triangle tables, camera, light, history) -> (rgb, history').
 
@@ -106,7 +107,20 @@ def render_frame_impl(
     G-buffer/gradient/backprojection run as one fused Pallas kernel and the
     path tracer as a Pallas megakernel; numerics match the XLA formulation
     (tests/test_pallas.py).
+
+    ``model``: optional (4, 4) per-frame model matrix (the reference's
+    UBO model slot, visibility.vert.glsl:22-24); applied in-graph to the
+    static tables (scene.transform_triangle_data). History.lut then
+    carries the previous frame's transformed vertices, so reprojection
+    and the temporal gradient handle geometry motion exactly like the
+    reference's modelPrev would (main.cpp:1465-1469).
     """
+    if model is not None:
+        from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+            transform_triangle_data,
+        )
+
+        tri_data = transform_triangle_data(tri_data, model)
     if _use_pallas(cfg, tri_data):
         return _render_frame_pallas(tri_data, camera, light, history, cfg)
     frame_idx = history.frame
@@ -347,11 +361,11 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("history",))
-def render_frame(tri_data, camera, light, history, cfg):
+def render_frame(tri_data, camera, light, history, cfg, model=None):
     """Jitted :func:`render_frame_impl`; history buffers are donated so XLA
     reuses them in place (the functional analogue of the reference's
     ping-pong blits)."""
-    return render_frame_impl(tri_data, camera, light, history, cfg)
+    return render_frame_impl(tri_data, camera, light, history, cfg, model)
 
 
 def init_history(tri_data: TriangleData, cfg: RenderConfig) -> History:

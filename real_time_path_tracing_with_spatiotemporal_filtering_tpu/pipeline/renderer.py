@@ -50,14 +50,24 @@ class Renderer:
         self.tri_data = precompute_triangle_data(scene)
         self.camera = camera if camera is not None else Camera.default()
         self.light = light if light is not None else Light.default()
+        self.model = None
         self.history = frame_mod.init_history(self.tri_data, cfg)
 
     def step(self) -> jnp.ndarray:
         """Render one frame with the current camera/light; returns (H, W, 3)."""
         rgb, self.history = frame_mod.render_frame(
-            self.tri_data, self.camera, self.light, self.history, self.cfg
+            self.tri_data, self.camera, self.light, self.history, self.cfg,
+            self.model,
         )
         return rgb
+
+    def set_model(self, model) -> None:
+        """Set the per-frame (4, 4) model matrix (None = identity, skipping
+        the in-graph transform). The reference's UBO model slot
+        (visibility.vert.glsl:22-24); reprojection under geometry motion
+        works because History.lut carries last frame's transformed
+        vertices (see frame.render_frame_impl)."""
+        self.model = None if model is None else np.asarray(model, np.float32)
 
     def render(self, num_frames: int) -> jnp.ndarray:
         """Render ``num_frames`` and return the last frame."""

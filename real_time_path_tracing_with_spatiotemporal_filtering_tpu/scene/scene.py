@@ -167,6 +167,61 @@ class TriangleData:
     geo_sub_aabbs: jnp.ndarray | None = None
 
 
+def transform_triangle_data(
+    tri_data: "TriangleData", model: jnp.ndarray
+) -> "TriangleData":
+    """Apply a per-frame model matrix to static triangle tables, in-graph.
+
+    The reference carries ``model``/``modelPrev`` in its UBO and applies
+    them in the visibility vertex shader (visibility.vert.glsl:22-24,
+    main.cpp:1465-1469) -- always identity in practice, but the plumbing
+    for animated geometry exists. This is the TPU equivalent: a jittable
+    map from the rest-pose tables to the transformed frame's tables, so
+    the whole thing fuses into the frame program. ``modelPrev`` needs no
+    explicit plumbing here: History.lut carries the PREVIOUS frame's
+    transformed vertices (the reference's end-of-frame LUT blit,
+    main.cpp:1370-1372), which is exactly what the filter backprojection
+    and the temporal gradient consume for reprojection under motion.
+
+    ``model`` is a (4, 4) (or (3, 4)) row-major matrix applied as
+    ``p' = M[:3, :3] @ p + M[:3, 3]``. Intersection planes and unit
+    normals are rebuilt from the transformed vertices; the normal-keyed
+    albedo is re-derived from the new normals because the reference
+    computes it from the hit normal AT TRACE TIME
+    (raytrace.comp.glsl:155-163), so a rotated wall changes color there
+    too. The returned tables carry no pair/cluster hierarchy (those are
+    host-side packing decisions), so frames route through the on-chip
+    dense kernels -- the right trade for animated geometry, which is
+    resident-class; re-run :func:`precompute_triangle_data` on host-
+    transformed vertices instead for animated HBM-streamed scenes.
+    """
+    m = jnp.asarray(model, jnp.float32)
+    rot = m[:3, :3]
+    trans = m[:3, 3]
+    tris = (
+        jnp.einsum(
+            "ij,tvj->tvi",
+            rot,
+            tri_data.lut[1:],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + trans
+    )
+    planes = build_triangle_planes(tris)
+    normals = planes.n / jnp.linalg.norm(planes.n, axis=-1, keepdims=True)
+    lut = jnp.concatenate([jnp.zeros((1, 3, 3), jnp.float32), tris], axis=0)
+    lut_normals = jnp.concatenate(
+        [jnp.array([[0.0, 0.0, 1.0]], jnp.float32), normals], axis=0
+    )
+    return TriangleData(
+        planes=planes,
+        normals=normals,
+        albedo=shading.albedo_from_normal(normals),
+        lut=lut,
+        lut_normals=lut_normals,
+    )
+
+
 # Above this triangle count the base tables are built with numpy instead of
 # eager jnp (which costs seconds of per-op dispatch at 250k tris -- and tens
 # of seconds over the axon TPU tunnel at ~30 ms/dispatch even at 2k tris).
