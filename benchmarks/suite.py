@@ -158,6 +158,27 @@ def run_suite(quick: bool):
         )
     )
 
+    # 4c. (extra, non-parity) tracked MID-SCALE INTERACTIVE config: 32,768
+    # tris at 1080p with the interactive levers on -- max_bounces=8 (past
+    # visual convergence for diffuse boxes: energy after 8 bounces ~ 0.7^8
+    # ~ 6%), Russian roulette from bounce 2 (unbiased), adaptive alpha.
+    # The closed box is the worst case (no path ever escapes); open scenes
+    # terminate earlier. Parity mode keeps 32 bounces (config 4).
+    mid_splits = 2 if quick else 32  # 128 or 32,768 triangles
+    mid_scene = ptsf.Scene.from_arrays(*procedural.subdivided_cornell(mid_splits))
+    cfg4i = ptsf.RenderConfig(
+        width=1920, height=1080, max_bounces=8, rr_start_bounce=2,
+        adaptive_alpha=True,
+    )
+    results.append(
+        (
+            f"cornell_subdiv{mid_splits}_{32 * mid_splits * mid_splits}tris_1080p_interactive_nonparity",
+            bench_renderer(
+                lambda: ptsf.Renderer(mid_scene, cfg4i), big_frames, orbit4
+            ),
+        )
+    )
+
     # 5. dynamic light + camera cuts, 4spp, gradient-driven rejection
     cfg5 = ptsf.RenderConfig(
         width=512, height=512, spp=4, adaptive_alpha=True

@@ -146,6 +146,37 @@ def main():
         ms = (time.perf_counter() - t0) / frames * 1000.0
         print(f"# trace time ({args.sort_mode}): {ms:.0f} ms/frame")
 
+        # --- roofline: issued vector work & streamed bytes vs v5e peaks ---
+        # VPU peak (approx, documented assumption): 8 sublanes x 128 lanes
+        # x 4 ALUs x ~0.94 GHz ~= 3.9e12 f32 lane-ops/s per chip. HBM peak
+        # ~= 819 GB/s (v5e). Lane-ops issued = whole-tile ops x the tile's
+        # lane count (the VPU executes all lanes whether needy or not);
+        # "useful" discounts by measured run-cluster occupancy.
+        vpu_peak = 8 * 128 * 4 * 0.94e9
+        hbm_peak = 819e9
+        ops_row = 50.0  # _pair_test: ~50 vector ops per table row
+        ops_hdr = 15.0  # per-row sub-block header slab test
+        ops_slab = 15.0  # whole-tile cluster slab test (phase A/visit)
+        nsub = pt_mod.nsub_for(csize)
+        lane_ops = (
+            float(tot[4]) * k_rows * ops_row
+            + float(tot[2]) * nsub * ops_hdr
+            + float(tot[0] + tot[1]) * ops_slab
+        ) * lanes
+        # streamed bytes: each RUN cluster DMAs (csize + nsub) 512-byte
+        # rows (prune-at-issue skips the rest)
+        bytes_streamed = float(tot[2]) * (csize + nsub) * 512.0
+        sec = ms / 1e3
+        issued_pct = 100.0 * lane_ops / (sec * vpu_peak)
+        useful_pct = issued_pct * float(tot[3]) / max(float(tot[2]) * lanes, 1)
+        bw_pct = 100.0 * bytes_streamed / (sec * hbm_peak)
+        print(
+            f"# roofline: issued {lane_ops/1e12:.2f} Tlane-ops "
+            f"= {issued_pct:.0f}% of VPU peak over the measured frame; "
+            f"useful (occupancy-weighted) {useful_pct:.1f}%; "
+            f"streamed {bytes_streamed/1e9:.2f} GB = {bw_pct:.0f}% of HBM peak"
+        )
+
 
 if __name__ == "__main__":
     main()
