@@ -8,6 +8,12 @@ cadences (every 2nd/3rd segment) trade sort time against culling quality.
 The traced RESULT is bit-identical for ANY schedule (the final descramble
 restores pixel order; shading is per-ray), so this is purely a time A/B.
 
+Measured outcome (v5e, 1080p 1spp, 2026-08): every-segment sorting
+(stride 1) CONFIRMED optimal at both scales — 32k: 1817 / 1855 / 1972 ms
+for stride 1/2/3; 248k: 4952 / 6357 / 7364 ms. The culling quality lost
+by even one unsorted segment costs more row/header work than the ~16 ms
+sort saves; the gap widens with scale. See docs/DESIGN_ROUND3.md.
+
 Run: python -m benchmarks.sort_stride_ab [--frames N] [--splits 32 88]
 """
 import argparse
