@@ -70,6 +70,14 @@ def main() -> None:
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = parser.parse_args()
 
+    if args.path_gradient and not (args.adaptive_alpha or args.accumulation_ramp):
+        # Fail before JAX imports with the config's own rationale rather
+        # than crashing inside RenderConfig.__post_init__ mid-startup.
+        parser.error(
+            "--path-gradient requires --adaptive-alpha or "
+            "--accumulation-ramp (nothing else consumes the gradient)"
+        )
+
     if args.cpu:
         import jax
 

@@ -51,6 +51,30 @@ def ansi_preview(img: np.ndarray, max_cols: int, max_rows: int) -> str:
     return "\n".join(lines)
 
 
+def build_config(args):
+    """Viewer flag set -> validated RenderConfig.
+
+    ``--path-gradient`` feeds adaptive alpha / the accumulation ramp
+    (RenderConfig rejects it with no consumer); it therefore implies
+    ``--ramp`` so the flag is usable alone, matching its help text.
+    """
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.config import (
+        RenderConfig,
+    )
+
+    ramp = args.ramp or args.path_gradient
+    if args.path_gradient and not args.ramp:
+        print("--path-gradient implies --ramp (gradient consumer)",
+              file=sys.stderr)
+    return RenderConfig(
+        width=args.width, height=args.height,
+        nee=args.nee, rr_start_bounce=args.rr_start_bounce,
+        variance_guided=ramp, accumulation_ramp=ramp,
+        adaptive_alpha=ramp,
+        path_gradient=args.path_gradient,
+    )
+
+
 def run_viewer(args) -> None:
     import real_time_path_tracing_with_spatiotemporal_filtering_tpu as ptsf
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.input import (
@@ -63,13 +87,7 @@ def run_viewer(args) -> None:
         FrameTimer,
     )
 
-    cfg = ptsf.RenderConfig(
-        width=args.width, height=args.height,
-        nee=args.nee, rr_start_bounce=args.rr_start_bounce,
-        variance_guided=args.ramp, accumulation_ramp=args.ramp,
-        adaptive_alpha=args.ramp,
-        path_gradient=args.path_gradient,
-    )
+    cfg = build_config(args)
     scene = (
         ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))
         if args.scene
@@ -143,7 +161,7 @@ def main() -> None:
                         "SVGF + accumulation ramp + adaptive alpha")
     parser.add_argument("--path-gradient", action="store_true",
                         help="A-SVGF path-space temporal gradient "
-                        "(re-traced sparse samples; combine with --ramp)")
+                        "(re-traced sparse samples; implies --ramp)")
     parser.add_argument("--no-preview", action="store_true")
     run_viewer(parser.parse_args())
 
