@@ -74,7 +74,7 @@ def _history_spec(
 
 def _path_gradient_shard(
     tri_data, light, frame_idx, cfg, history_local, py, px, visibility,
-    reproj_vis, row_offset, local_h, axis, trace_fn=None,
+    reproj_vis, row_offset, local_h, axis, trace_fn=None, ledger=None,
 ):
     """This shard's rows of the A-SVGF path-space gradient (ops/pathgrad.py).
 
@@ -102,7 +102,8 @@ def _path_gradient_shard(
     pyg = py[gy_loc, gx]
     pxg = px[gy_loc, gx]
     reproj_lum = reproject_rows_sharded(
-        history_local.noisy_lum, py, px, row_offset, axis_name=axis
+        history_local.noisy_lum, py, px, row_offset, axis_name=axis,
+        ledger=ledger,
     )
     lam = pathgrad.retrace_lambda(
         tri_data, light, frame_idx, cfg,
@@ -111,11 +112,16 @@ def _path_gradient_shard(
         history_local.cam_pos, history_local.cam_rot, trace_fn=trace_fn,
     )
     for _ in range(cfg.gradient_filter_iters):
-        lam = pathgrad.box3_filter(lam, exchange_row_halo(lam, 1, axis))
+        lam = pathgrad.box3_filter(
+            lam, exchange_row_halo(lam, 1, axis, ledger)
+        )
     return pathgrad.upsample_nearest(lam, s, local_h, w)
 
 
-def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis: str):
+def _frame_shard(
+    tri_data, camera, light, history_local, cfg: RenderConfig, axis: str,
+    ledger=None,
+):
     """Per-device slab of the frame. ``history_local`` carries this shard's
     rows of image/visibility and replicated everything-else.
 
@@ -127,6 +133,11 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline.frame import (
         _use_pallas,
     )
+
+    if ledger is not None:
+        # fresh counts per trace (jit retraces reuse the ledger instance)
+        ledger.reset_static()
+        ledger.gather_bytes = 0
 
     n = jax.lax.axis_size(axis)
     local_h = cfg.height // n
@@ -220,7 +231,8 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
     reproj_vis = None
     if cfg.accumulation_ramp or cfg.path_gradient:
         reproj_vis = reproject_rows_sharded(
-            history_local.visibility, py, px, row_offset, axis_name=axis
+            history_local.visibility, py, px, row_offset, axis_name=axis,
+            ledger=ledger,
         )
     if cfg.path_gradient:
         from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
@@ -245,7 +257,7 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
             _path_gradient_shard(
                 tri_data, light, frame_idx, cfg, history_local,
                 py, px, visibility, reproj_vis, row_offset, local_h,
-                axis, trace_fn=trace_fn,
+                axis, trace_fn=trace_fn, ledger=ledger,
             ),
         )
     age = None
@@ -254,7 +266,8 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         # reproject through the same windowed halo exchange as the color
         # history (visibility mismatch = disocclusion/camera-cut reset).
         reproj_age = reproject_rows_sharded(
-            history_local.age, py, px, row_offset, axis_name=axis
+            history_local.age, py, px, row_offset, axis_name=axis,
+            ledger=ledger,
         )
         age = atrous.accumulate_age(
             history_local.age, py, px, lam, frame_idx, cfg,
@@ -262,12 +275,13 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
         )
     if cfg.variance_guided:
         reproj_moments = reproject_rows_sharded(
-            history_local.moments, py, px, row_offset, axis_name=axis
+            history_local.moments, py, px, row_offset, axis_name=axis,
+            ledger=ledger,
         )
         lum = atrous.luminance(noisy)
         # young-history spatial estimate needs cross-shard rows (5x5 box)
         var_spatial = atrous.spatial_variance(
-            exchange_row_halo(lum, 2, axis), halo=2
+            exchange_row_halo(lum, 2, axis, ledger), halo=2
         )
         moments, v = atrous.accumulate_moments(
             lum, history_local.moments, py, px, frame_idx, cfg,
@@ -280,22 +294,23 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
     for k in range(1, cfg.wavelet_iterations + 1):
         if cfg.variance_guided:
             c, v = atrous.atrous_iteration_var(
-                exchange_row_halo(c, k, axis),
-                exchange_row_halo(v, k, axis),
-                exchange_row_halo(normal_img, k, axis),
-                exchange_row_halo(depth, k, axis),
+                exchange_row_halo(c, k, axis, ledger),
+                exchange_row_halo(v, k, axis, ledger),
+                exchange_row_halo(normal_img, k, axis, ledger),
+                exchange_row_halo(depth, k, axis, ledger),
                 k, cfg, halo=k,
             )
         else:
             c = atrous.atrous_iteration(
-                exchange_row_halo(c, k, axis),
-                exchange_row_halo(normal_img, k, axis),
-                exchange_row_halo(depth, k, axis),
+                exchange_row_halo(c, k, axis, ledger),
+                exchange_row_halo(normal_img, k, axis, ledger),
+                exchange_row_halo(depth, k, axis, ledger),
                 k, cfg, halo=k,
             )
 
     reproj_image = reproject_rows_sharded(
-        history_local.image, py, px, row_offset, axis_name=axis
+        history_local.image, py, px, row_offset, axis_name=axis,
+        ledger=ledger,
     )
     rgb = atrous.temporal_accumulate_at(
         c, history_local.image, py, px, frame_idx, lam, cfg,
@@ -319,15 +334,33 @@ def _frame_shard(tri_data, camera, light, history_local, cfg: RenderConfig, axis
     )
     if cfg.demodulate_albedo:
         # display radiance; history stays demodulated
-        return atrous.modulate(rgb, demod_s), new_history
+        rgb = atrous.modulate(rgb, demod_s)
+    if ledger is not None:
+        # mesh-uniform by construction: halo_bytes is static and
+        # gather_bytes derives from the pmin-reduced branch predicate
+        comm = {
+            "halo_bytes": jnp.int32(ledger.halo_bytes),
+            "gather_bytes": jnp.asarray(ledger.gather_bytes, jnp.int32),
+        }
+        return rgb, new_history, comm
     return rgb, new_history
 
 
-def make_sharded_frame(cfg: RenderConfig, mesh, axis: str = ROW_AXIS):
+def make_sharded_frame(
+    cfg: RenderConfig, mesh, axis: str = ROW_AXIS, comm_ledger=None,
+):
     """Build the jitted, row-sharded frame function for ``mesh``.
 
     Returns ``frame(tri_data, camera, light, history) -> (rgb, history')``
     where image planes are sharded P(axis) and everything else replicated.
+
+    ``comm_ledger``: an optional :class:`parallel.sharding.CommLedger`.
+    When given, the step instead returns ``(rgb, history', comm)`` with
+    ``comm = {"halo_bytes", "gather_bytes"}`` (runtime int32 scalars, bytes
+    per interior device this frame), and the ledger's static fields
+    (``halo_bytes``/``reproj_halo_bytes``/``gather_fallback_bytes``) are
+    populated when the step is first traced -- see CommLedger for the
+    invariant this checks.
     """
     n = mesh.shape[axis]
     if cfg.height % n != 0:
@@ -349,11 +382,16 @@ def make_sharded_frame(cfg: RenderConfig, mesh, axis: str = ROW_AXIS):
     hist_spec = _history_spec(
         axis, cfg.variance_guided, cfg.accumulation_ramp, cfg.path_gradient
     )
+    out_specs = (P(axis), hist_spec)
+    if comm_ledger is not None:
+        out_specs = out_specs + ({"halo_bytes": P(), "gather_bytes": P()},)
     shard_fn = jax.shard_map(
-        functools.partial(_frame_shard, cfg=cfg, axis=axis),
+        functools.partial(
+            _frame_shard, cfg=cfg, axis=axis, ledger=comm_ledger
+        ),
         mesh=mesh,
         in_specs=(P(), P(), P(), hist_spec),
-        out_specs=(P(axis), hist_spec),
+        out_specs=out_specs,
         # loop carries seeded from replicated constants become device-varying
         # inside the bounce loop; skip the static varying-axes check.
         check_vma=False,

@@ -1,6 +1,8 @@
-"""Mesh construction and halo-exchange collectives."""
+"""Mesh construction, halo-exchange collectives and ICI byte accounting."""
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +31,61 @@ def make_mesh(n_devices: int | None = None, axis: str = ROW_AXIS) -> Mesh:
     return Mesh(np.asarray(devices[:n_devices]), (axis,))
 
 
-def exchange_row_halo(x: jnp.ndarray, halo: int, axis_name: str = ROW_AXIS):
+class CommLedger:
+    """Per-frame ICI byte accounting for the row-sharded frame.
+
+    The "~100x less steady-state ICI traffic" claim of the windowed
+    halo-exchange reprojection (docs/DESIGN_ROUND3.md section 4) is turned
+    into a checked invariant here: every collective in this module reports
+    the bytes it moves per interior device per frame. Three static counters
+    accumulate at TRACE time (collective shapes are static under jit) and
+    one traced counter records what actually moved at runtime:
+
+    - ``halo_bytes`` (static int): bytes ppermute'd per device per frame --
+      all halo windows (a-trous halos + reprojection windows). This is the
+      steady-state ICI traffic.
+    - ``reproj_halo_bytes`` (static int): the subset of ``halo_bytes``
+      moved by reproject_rows_sharded's windows (the term the all-gather
+      fallback replaces).
+    - ``gather_fallback_bytes`` (static int): bytes each device would
+      receive if every reprojection fell back to an all-gather -- the
+      round-2 design's per-frame cost, and the denominator of the ratio.
+    - ``gather_bytes`` (traced int32): bytes the all-gather fallback
+      actually moved this frame (0 in the steady state; the full fallback
+      amount on a camera cut). Returned from the jitted step when
+      make_sharded_frame is built with a ledger.
+
+    Byte counts are per INTERIOR device (edge devices have one neighbor);
+    the all-gather count is receive-side: (n-1)/n of the global plane.
+    """
+
+    def __init__(self):
+        self.reset_static()
+        self.gather_bytes = 0
+
+    def reset_static(self):
+        self.halo_bytes = 0
+        self.reproj_halo_bytes = 0
+        self.gather_fallback_bytes = 0
+
+    def _add_halo(self, x, halo: int, reproj: bool):
+        nbytes = 2 * halo * math.prod(x.shape[1:]) * x.dtype.itemsize
+        self.halo_bytes += nbytes
+        if reproj:
+            self.reproj_halo_bytes += nbytes
+
+    def _add_gather(self, x, n: int, small):
+        nbytes = (n - 1) * math.prod(x.shape) * x.dtype.itemsize
+        self.gather_fallback_bytes += nbytes
+        self.gather_bytes = self.gather_bytes + jnp.where(
+            small, jnp.int32(0), jnp.int32(nbytes)
+        )
+
+
+def exchange_row_halo(
+    x: jnp.ndarray, halo: int, axis_name: str = ROW_AXIS, ledger=None,
+    _reproj=False,
+):
     """Pad a row-sharded array with ``halo`` rows from each row-neighbor.
 
     Neighbor rows travel over ICI via ``ppermute``; at the global top/bottom
@@ -49,6 +105,8 @@ def exchange_row_halo(x: jnp.ndarray, halo: int, axis_name: str = ROW_AXIS):
         raise ValueError(
             f"shard has {x.shape[0]} rows < halo {halo}; use fewer devices"
         )
+    if ledger is not None:
+        ledger._add_halo(x, halo, _reproj)
     down = [(i, i + 1) for i in range(n - 1)]   # i's bottom rows -> i+1's top halo
     up = [(i + 1, i) for i in range(n - 1)]     # i+1's top rows -> i's bottom halo
     from_above = jax.lax.ppermute(x[-halo:], axis_name, down)
@@ -67,6 +125,7 @@ def reproject_rows_sharded(
     row_offset: jnp.ndarray,
     halo: int = REPROJ_HALO_ROWS,
     axis_name: str = ROW_AXIS,
+    ledger: CommLedger | None = None,
 ):
     """``plane_global[prev_y, prev_x]`` for a row-sharded history plane.
 
@@ -100,7 +159,10 @@ def reproject_rows_sharded(
     # The exchange itself is collective, so it runs unconditionally (both
     # cond branches must issue identical collectives per device); it is
     # cheap -- 2*halo rows per neighbor.
-    padded = exchange_row_halo(plane, halo, axis_name)
+    padded = exchange_row_halo(plane, halo, axis_name, ledger, _reproj=True)
+    if ledger is not None:
+        n_dev = jax.lax.axis_size(axis_name)
+        ledger._add_gather(plane, n_dev, small)
 
     def windowed(_):
         aligned = jnp.all((dy == 0) & (prev_x == own_x))
