@@ -23,7 +23,13 @@ import time
 
 import numpy as np
 
-PHASES = ("sort", "visits", "issue", "skeleton", "headers", "rows")
+PHASES = (
+    "sort", "visits", "issue", "skeleton", "headers", "rows",
+    # round-4 additions attributing the previously ~25% unaccounted tail:
+    # shading (in-kernel _shade_segment), XLA ray generation, and the
+    # final pixel-id descramble sort
+    "shade", "raygen", "descramble",
+)
 
 
 def main():
@@ -95,8 +101,8 @@ def main():
               f"-> {phase} ~ {delta:6.0f} ms ({100 * delta / base_ms:5.1f}%)")
     accounted = sum(d for _, d in rows)
     print(f"# accounted {accounted:.0f} of {base_ms:.0f} ms "
-          f"({100 * accounted / base_ms:.1f}%); the rest = ray gen, "
-          "shading, descramble, DMA waits, loop/cond bookkeeping")
+          f"({100 * accounted / base_ms:.1f}%); the rest = DMA waits and "
+          "loop/cond bookkeeping (no probe doubles those)")
 
 
 if __name__ == "__main__":

@@ -379,7 +379,8 @@ def _wavefront_kernel(
             bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
             counters=counters, hdr=hdr,
             probe=(
-                (fparams_ref[14], probe_which) if probe_which else None
+                (fparams_ref[14], probe_which)
+                if probe_which and probe_which != "shade" else None
             ),
         )
         best_t, hit = o_s[0], o_s[1] != 0
@@ -390,6 +391,23 @@ def _wavefront_kernel(
             lx, ly, lz, hdr_r, hdr_g, hdr_b, radius,
             inv_first_dim, eps_off, cfg,
         )
+        if probe_which == "shade":
+            # doubling probe: re-run the whole shading phase with the
+            # runtime-1.0 perturbed origins (bit-identical values, never
+            # CSE'd) and park a reduction in a dead SMEM slot (bins_ref is
+            # dead storage after the walk) so it is never DCE'd. The
+            # committed state comes from the unperturbed call above.
+            p = fparams_ref[14]
+            shaded2 = _shade_segment(
+                seg, ox * p, oy * p, oz * p, dx, dy, dz,
+                tp_r, tp_g, tp_b, res_r, res_g, res_b, alive, st,
+                best_t, hit, o_s[2], o_s[3], o_s[4], o_s[5], o_s[6], o_s[7],
+                lx, ly, lz, hdr_r, hdr_g, hdr_b, radius,
+                inv_first_dim, eps_off, cfg,
+            )
+            bins_ref[0] = jnp.sum(shaded2[6]).astype(jnp.int32) + jnp.sum(
+                shaded2[9]
+            ).astype(jnp.int32)
         (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
          res_r, res_g, res_b, tri_hit, st) = shaded[:14]
         if cfg.nee:
@@ -685,8 +703,13 @@ def _wavefront_core(
             num_clusters=num_clusters, csize=csize,
             num_supers=num_supers, ssize=ssize, collect_stats=stats,
             hdr_lanes=hdr_lanes,
+            # kernel-side probes only; sort/raygen/descramble double their
+            # XLA phases outside the kernel
             probe_which=(
-                probe_double if probe_double not in (None, "sort") else None
+                probe_double
+                if probe_double
+                in ("visits", "issue", "skeleton", "headers", "rows", "shade")
+                else None
             ),
         )
         out_shape = (
@@ -803,24 +826,43 @@ def _wavefront_core(
         for _sample in range(cfg.spp):
             # AA jitter (raytrace.comp.glsl:84-92, 314); state advances by
             # exactly two draws per sample as in the megakernel
-            state, u1 = _pcg_xla(state)
-            state, u2 = _pcg_xla(state)
-            u1 = jnp.maximum(jnp.float32(1e-38), u1)
-            r_g = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-            theta_g = np.float32(2.0 * 3.14159265) * u2
-            jx = jnp.float32(cfg.aa_sigma) * r_g * jnp.cos(theta_g)
-            jy = jnp.float32(cfg.aa_sigma) * r_g * jnp.sin(theta_g)
-            fx = px.astype(f32) + jnp.float32(0.5) + jx
-            fy = py.astype(f32) + jnp.float32(0.5) + jy
-            su = (jnp.float32(2.0) * fx - wf) * inv_h
-            sv = -(jnp.float32(2.0) * fy - hf) * inv_h
-            cx_ = slope * su
-            cy_ = slope * sv
-            ddx = rot[0, 0] * cx_ + rot[0, 1] * cy_ - rot[0, 2]
-            ddy = rot[1, 0] * cx_ + rot[1, 1] * cy_ - rot[1, 2]
-            ddz = rot[2, 0] * cx_ + rot[2, 1] * cy_ - rot[2, 2]
-            inv_n = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-            ddx, ddy, ddz = ddx * inv_n, ddy * inv_n, ddz * inv_n
+            def gen_rays(st_in, one=None):
+                st, u1 = _pcg_xla(st_in)
+                st, u2 = _pcg_xla(st)
+                u1 = jnp.maximum(jnp.float32(1e-38), u1)
+                r_g = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+                theta_g = np.float32(2.0 * 3.14159265) * u2
+                jx = jnp.float32(cfg.aa_sigma) * r_g * jnp.cos(theta_g)
+                jy = jnp.float32(cfg.aa_sigma) * r_g * jnp.sin(theta_g)
+                if one is not None:  # doubling-probe perturbation
+                    jx, jy = jx * one, jy * one
+                fx = px.astype(f32) + jnp.float32(0.5) + jx
+                fy = py.astype(f32) + jnp.float32(0.5) + jy
+                su = (jnp.float32(2.0) * fx - wf) * inv_h
+                sv = -(jnp.float32(2.0) * fy - hf) * inv_h
+                cx_ = slope * su
+                cy_ = slope * sv
+                ddx = rot[0, 0] * cx_ + rot[0, 1] * cy_ - rot[0, 2]
+                ddy = rot[1, 0] * cx_ + rot[1, 1] * cy_ - rot[1, 2]
+                ddz = rot[2, 0] * cx_ + rot[2, 1] * cy_ - rot[2, 2]
+                inv_n = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                return st, ddx * inv_n, ddy * inv_n, ddz * inv_n
+
+            raygen_sink = None
+            if probe_double == "raygen":
+                # doubling probe: run the whole ray-gen block a second
+                # time from a runtime-identically-equal seed (frame_idx is
+                # traced, so the comparison cannot constant-fold; the
+                # select picks 0.0 at runtime, keeping bits identical)
+                rt = jnp.asarray(frame_idx, jnp.float32)
+                far = rt < jnp.float32(-1e30)
+                one2 = jnp.where(far, jnp.float32(2.0), jnp.float32(1.0))
+                zero_u = jnp.where(far, _U(1), _U(0))
+                _, dx2, dy2, dz2 = gen_rays(state ^ zero_u, one2)
+                raygen_sink = jnp.where(
+                    far, dx2 + dy2 + dz2, jnp.float32(0.0)
+                )
+            state, ddx, ddy, ddz = gen_rays(state)
 
             planes = tuple(
                 p.reshape(plane_shape)
@@ -887,12 +929,21 @@ def _wavefront_core(
                 res_g = jnp.where(alive_f, planes[7].reshape(n), planes[10].reshape(n))
                 res_b = jnp.where(alive_f, planes[8].reshape(n), planes[11].reshape(n))
             # descramble: one 4-operand sort by pixel id (unique keys)
-            _, r_p, g_p, b_p = jax.lax.sort(
+            pk, r_p, g_p, b_p = jax.lax.sort(
                 (pix_plane.reshape(n), res_r, res_g, res_b), num_keys=1
             )
+            if probe_double == "descramble":
+                # doubling probe: re-sort the sorted planes (stable and
+                # data-oblivious -- identity result, representative cost,
+                # not CSE-able; same device as the 'sort' probe)
+                pk, r_p, g_p, b_p = jax.lax.sort(
+                    (pk, r_p, g_p, b_p), num_keys=1
+                )
             acc_r = acc_r + r_p
             acc_g = acc_g + g_p
             acc_b = acc_b + b_p
+            if raygen_sink is not None:
+                acc_r = acc_r + raygen_sink  # runtime zeros (see probe)
 
     norm = jnp.float32(1.0 / (cfg.spp * cfg.sample_batches))
     out = tuple((acc * norm)[:n_pix] for acc in (acc_r, acc_g, acc_b))
