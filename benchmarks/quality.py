@@ -74,6 +74,8 @@ def run(
     orbit: float = 0.0,
     light_motion: float = 0.0,
     path_gradient: bool = False,
+    width: int | None = None,
+    height: int | None = None,
 ):
     """One quality measurement. ``orbit`` (radians/frame): the camera
     orbits the scene center during accumulation and the final frame is
@@ -99,7 +101,7 @@ def run(
     )
 
     cfg = ptsf.RenderConfig(
-        width=size, height=size,
+        width=width or size, height=height or size,
         variance_guided=variance_guided or demodulate,
         rr_start_bounce=rr_start_bounce, nee=nee,
         demodulate_albedo=demodulate,
@@ -174,6 +176,14 @@ def run(
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=256)
+    parser.add_argument(
+        "--width", type=int, default=None,
+        help="non-square width (e.g. 1920 for the 1080p headline config)",
+    )
+    parser.add_argument(
+        "--height", type=int, default=None,
+        help="non-square height (e.g. 1080)",
+    )
     parser.add_argument("--spp", type=int, default=1024)
     parser.add_argument("--frames", type=int, default=32)
     parser.add_argument(
@@ -245,6 +255,7 @@ def main():
     for variance_guided, rr, nee, demod, ramp, pg in modes:
         stats = run(
             args.size, args.spp, args.frames, variance_guided, rr, nee,
+            width=args.width, height=args.height,
             demodulate=demod, ramp=ramp, orbit=args.orbit,
             light_motion=args.light_motion, path_gradient=pg,
         )
@@ -271,8 +282,9 @@ def main():
                 {
                     "metric": (
                         f"denoised rMSE vs {args.spp}-spp reference, "
-                        f"{args.size}x{args.size} Cornell (clamped [0,1]), "
-                        f"{mode}"
+                        f"{args.width or args.size}x"
+                        f"{args.height or args.size} Cornell "
+                        f"(clamped [0,1]), {mode}"
                     ),
                     "value": round(stats["rmse_denoised"], 6),
                     "unit": "rmse",
