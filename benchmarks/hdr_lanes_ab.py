@@ -20,6 +20,11 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import proce
 
 parser = argparse.ArgumentParser()
 parser.add_argument(
+    "--tile-w", type=int, default=None,
+    help="wavefront tile width (lanes); round-4 re-tests hdr_lanes at 128 "
+    "where the 1024-ray bundle is ~4x tighter than tw=512's",
+)
+parser.add_argument(
     "--frames", type=int, default=5,
     help="timed frames per arm (raise for close comparisons; the recorded "
     "round-2 gaps of 30-95%% were clear at 2)",
@@ -59,12 +64,14 @@ for splits, frames in [(32, cli.frames), (88, cli.frames)]:
     for hl in (False, True):
         wf = jax.jit(
             lambda hl=hl: wf_mod.path_trace_wavefront(
-                td, cam.position, light, 1, cfg, hdr_lanes=hl
+                td, cam.position, light, 1, cfg, hdr_lanes=hl,
+                tile_w=cli.tile_w,
             )[..., 0]
         )
         try:
             ms = time_fn(wf, frames)
-            print(f"tris={ntri:>7} hdr_lanes={hl} {ms:10.1f} ms", flush=True)
+            print(f"tris={ntri:>7} tw={cli.tile_w or wf_mod.TILE_W} "
+              f"hdr_lanes={hl} {ms:10.1f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"tris={ntri:>7} hdr_lanes={hl} FAILED {type(e).__name__}: {e}",
                   flush=True)

@@ -494,24 +494,19 @@ def _sort_segments_for(num_clusters: int, max_bounces: int):
     return SORT_SEGMENTS
 
 
-# Apply the re-sort as (key, iota) sort + ONE packed row gather instead of
-# carrying all 15 ray-state planes through every pass of the sorting
-# network. lax.sort is stable, so the (key, iota) permutation is exactly
-# the permutation the multi-operand sort applies -- bit-identical output
-# (test_wavefront_sort_perm_bit_parity; max abs diff 0.0 on hardware).
-# MEASURED on v5e 1080p 1spp and REJECTED (benchmarks/sort_perm_ab.py):
-# 3425 vs 1818 ms at 32k tris, 6558 vs 4951 ms at 248k -- the (n, 15)
-# uint32 row gather alone costs ~1.6 s at 2M rays (XLA TPU gathers run
-# near-scalar), far more than the sort network saves. Kept flag-gated for
-# hardware where gathers vectorize.
-DEFAULT_SORT_PERM = False
+# A (key, iota) sort + ONE packed row gather re-sort variant (sort_perm)
+# was MEASURED on v5e and REJECTED (3425 vs 1818 ms at 32k tris, 6558 vs
+# 4951 at 248k -- XLA TPU gathers run near-scalar, so the single gather
+# costs ~3x what the 15-plane sorting network saves; see
+# docs/DESIGN_ROUND3.md). Deleted in round 4 per the variant-pruning
+# policy (git history holds the implementation: commit 4b72172).
 
 
 def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
     collect_stats=False, sort_mode=DEFAULT_SORT_MODE, tile_w=None,
-    hdr_lanes=None, probe_double=None, sort_perm=None,
+    hdr_lanes=None, probe_double=None,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
@@ -538,7 +533,7 @@ def path_trace_wavefront(
         pix % w, pix // w + row_offset,
         interpret=interpret, rotation=rotation,
         collect_stats=collect_stats, sort_mode=sort_mode, tile_w=tile_w,
-        hdr_lanes=hdr_lanes, probe_double=probe_double, sort_perm=sort_perm,
+        hdr_lanes=hdr_lanes, probe_double=probe_double,
     )
     if collect_stats:
         (r, g, b), stats = out
@@ -588,7 +583,7 @@ def _wavefront_core(
     tri_data, camera_pos, light, frame_idx, cfg, px_flat, py_flat,
     *, interpret=False, rotation=None, collect_stats=False,
     sort_mode=DEFAULT_SORT_MODE, tile_w=None, hdr_lanes=None,
-    probe_double=None, sort_perm=None,
+    probe_double=None,
 ):
     """Shared wavefront trace over a flat list of global pixel coords.
 
@@ -601,8 +596,6 @@ def _wavefront_core(
     kernel -- see _ordered_stream_loop). Output stays bit-identical."""
     if hdr_lanes is None:
         hdr_lanes = DEFAULT_HDR_LANES
-    if sort_perm is None:
-        sort_perm = DEFAULT_SORT_PERM
     pair_table = tri_data.pair_table
     cluster_aabbs = tri_data.cluster_aabbs
     super_aabbs = tri_data.super_aabbs
@@ -773,36 +766,8 @@ def _wavefront_core(
             saabb=super_aabbs, num_supers=num_supers,
         )
 
-    def _permute_ops(ops):
-        # stable (key, iota) sort gives the same permutation the
-        # multi-operand sort would apply; one packed (n, 15) uint32 row
-        # gather then moves the ray state once instead of through every
-        # pass of the sorting network (see DEFAULT_SORT_PERM)
-        key = _plane_key(ops)
-        _, perm = jax.lax.sort(
-            (key, jax.lax.iota(jnp.int32, n)), num_keys=1
-        )
-        packed = jnp.stack(
-            [jax.lax.bitcast_convert_type(p, jnp.uint32) for p in ops],
-            axis=1,
-        )
-        rows = jnp.take(packed, perm, axis=0)
-        return tuple(
-            jax.lax.bitcast_convert_type(rows[:, i], p.dtype)
-            for i, p in enumerate(ops)
-        )
-
     def sort_planes(planes, pix_plane):
         ops = tuple(p.reshape(n) for p in planes) + (pix_plane.reshape(n),)
-        if sort_perm:
-            ops = _permute_ops(ops)
-            if probe_double == "sort":
-                # doubling probe: permute again -- keys are now sorted, so
-                # the stable permutation is the identity (bit-identical,
-                # representative cost, not CSE-able)
-                ops = _permute_ops(ops)
-            planes = tuple(p.reshape(plane_shape) for p in ops[:14])
-            return planes, ops[14].reshape(plane_shape)
         key = _plane_key(ops)
         sorted_ops = jax.lax.sort((key,) + ops, num_keys=1)
         if probe_double == "sort":

@@ -523,57 +523,6 @@ def test_wavefront_hdr_lanes_bit_parity():
         np.testing.assert_array_equal(base, lanes)
 
 
-def test_wavefront_sort_perm_bit_parity():
-    """The (key, iota) sort + packed row gather re-sort (sort_perm=True)
-    must be bit-identical to the 16-operand lax.sort: lax.sort is stable,
-    so sorting (key, iota) yields exactly the permutation the multi-operand
-    sort applies, and the gather moves the same bits. Covered on a closed
-    scene (every segment re-sorts at >=128 clusters... this 1152-tri scene
-    uses SORT_SEGMENTS) and an open soup with NEE (shadow-ray state rides
-    the same planes)."""
-    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
-        path_trace_wavefront,
-    )
-    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
-        procedural,
-    )
-    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
-        Scene,
-        precompute_triangle_data,
-    )
-
-    closed = precompute_triangle_data(
-        Scene.from_arrays(*procedural.subdivided_cornell(6))
-    )
-    soup = precompute_triangle_data(
-        Scene.from_arrays(*procedural.random_soup(600, seed=3, extent=2.0))
-    )
-    cam, light = Camera.default(), Light.default()
-    cases = [
-        (closed, dataclasses.replace(CFG, width=48, height=32, max_bounces=6)),
-        (
-            soup,
-            dataclasses.replace(
-                CFG, width=48, height=32, max_bounces=4, nee=True
-            ),
-        ),
-    ]
-    for td, cfg in cases:
-        base = np.asarray(
-            path_trace_wavefront(
-                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
-                sort_perm=False,
-            )
-        )
-        perm = np.asarray(
-            path_trace_wavefront(
-                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
-                sort_perm=True,
-            )
-        )
-        np.testing.assert_array_equal(base, perm)
-
-
 def test_geometry_hdr_lanes_bit_parity():
     """The streamed geometry kernel's lane-parallel header walk must be
     bit-identical to the row-major walk across every G-buffer plane
