@@ -57,7 +57,7 @@ def main():
     print(f"# device: {jax.devices()[0]}")
     which = args.which.split(",") if args.which != "all" else [
         "scalar", "dynrow", "assemble", "vec1x128", "vec8x128", "vec8x512",
-        "cond",
+        "when", "reduce", "dynwin", "cond",
     ]
 
     ITERS = args.iters
@@ -202,6 +202,96 @@ def main():
     ):
         if nm in which:
             run_pair(nm, vec_make(shp), ITERS // 2, ITERS // 8)
+
+    # --- when: one in-loop pl.when-guarded SMEM store (predicated region
+    # without value joins -- potentially much cheaper than lax.cond) ---
+    if "when" in which:
+        def make(iters):
+            def kernel(x_ref, o_ref, tab):
+                def body(i, a):
+                    @pl.when(a & 1 == 0)
+                    def _():
+                        tab[a & 255] = a
+
+                    return a * 5 + 1
+
+                a = jax.lax.fori_loop(0, iters, body, 1)
+                o_ref[:] = x_ref[:]
+                o_ref[0, 0] = x_ref[0, 0] + (a + tab[0]).astype(
+                    jnp.float32
+                ) * 0.0
+
+            def f(x):
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((8, 512), jnp.float32),
+                    scratch_shapes=[pltpu.SMEM((256,), jnp.int32)],
+                )(x)
+
+            return f
+
+        run_pair("when", make, ITERS // 4, ITERS // 16)
+
+    # --- reduce: full-array vector -> scalar reduction (jnp.max) used as
+    # a scalar in the next iteration's control flow ---
+    if "reduce" in which:
+        def make(iters):
+            def kernel(x_ref, o_ref):
+                v = x_ref[:]
+
+                def body(i, c):
+                    a, s = c
+                    m = jnp.max(v + s)  # scalar from an (8,512) reduce
+                    return a * 5 + 1, s + m * jnp.float32(1e-20)
+
+                a, s = jax.lax.fori_loop(
+                    0, iters, body, (1, jnp.float32(0))
+                )
+                o_ref[:] = x_ref[:]
+                o_ref[0, 0] = x_ref[0, 0] + s * 0.0 + a.astype(
+                    jnp.float32
+                ) * 0.0
+
+            def f(x):
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((8, 512), jnp.float32),
+                )(x)
+
+            return f
+
+        run_pair("reduce", make, ITERS // 4, ITERS // 16)
+
+    # --- dynwin: read an (8,128) window at a dynamic 8-aligned sublane
+    # offset from a VMEM ref, one op, write back (the targeted-row access
+    # pattern: state slabs in VMEM scratch, dynamic octet offset) ---
+    if "dynwin" in which:
+        def make(iters):
+            def kernel(x_ref, o_ref, big):
+                big[:, :] = jnp.tile(x_ref[:, :128], (8, 1))
+
+                def body(i, a):
+                    off = pl.multiple_of((a & 7) * 8, 8)
+                    w = big[pl.ds(off, 8), :]
+                    big[pl.ds(off, 8), :] = w * 1.0000001
+                    return a * 5 + 1
+
+                a = jax.lax.fori_loop(0, iters, body, 1)
+                o_ref[:] = x_ref[:]
+                o_ref[0:1, :128] = x_ref[0:1, :128] + big[0:1, :] * 0.0 + (
+                    a.astype(jnp.float32) * 0.0
+                )
+
+            def f(x):
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((8, 512), jnp.float32),
+                    scratch_shapes=[pltpu.VMEM((64, 128), jnp.float32)],
+                )(x)
+
+            return f
+
+        run_pair("dynwin", make, ITERS // 4, ITERS // 16)
 
     # --- cond: one in-loop lax.cond with trivial branches ---
     if "cond" in which:
