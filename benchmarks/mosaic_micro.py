@@ -92,7 +92,7 @@ def main():
                     return a, b
 
                 a, b = jax.lax.fori_loop(0, iters, body, (1, 2))
-                o_ref[0, 0] = x_ref[0, 0] + (a + b).astype(jnp.float32) * 0.0
+                o_ref[:] = x_ref[:] + (a + b).astype(jnp.float32) * 0.0
 
             def f(x):
                 return pl.pallas_call(
@@ -216,10 +216,7 @@ def main():
                     return a * 5 + 1
 
                 a = jax.lax.fori_loop(0, iters, body, 1)
-                o_ref[:] = x_ref[:]
-                o_ref[0, 0] = x_ref[0, 0] + (a + tab[0]).astype(
-                    jnp.float32
-                ) * 0.0
+                o_ref[:] = x_ref[:] + (a + tab[0]).astype(jnp.float32) * 0.0
 
             def f(x):
                 return pl.pallas_call(
@@ -247,10 +244,7 @@ def main():
                 a, s = jax.lax.fori_loop(
                     0, iters, body, (1, jnp.float32(0))
                 )
-                o_ref[:] = x_ref[:]
-                o_ref[0, 0] = x_ref[0, 0] + s * 0.0 + a.astype(
-                    jnp.float32
-                ) * 0.0
+                o_ref[:] = x_ref[:] + s * 0.0 + a.astype(jnp.float32) * 0.0
 
             def f(x):
                 return pl.pallas_call(
@@ -305,8 +299,7 @@ def main():
                     return a * 5 + 1, b
 
                 a, b = jax.lax.fori_loop(0, iters, body, (1, 0))
-                o_ref[:] = x_ref[:]
-                o_ref[0, 0] = x_ref[0, 0] + (a + b).astype(jnp.float32) * 0.0
+                o_ref[:] = x_ref[:] + (a + b).astype(jnp.float32) * 0.0
 
             def f(x):
                 return pl.pallas_call(

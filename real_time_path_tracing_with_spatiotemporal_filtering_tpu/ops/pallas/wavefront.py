@@ -64,6 +64,13 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtra
 # parity tests in tests/test_pallas.py).
 DEFAULT_HDR_LANES = False
 
+# Group-split walk (round 4, docs/DESIGN_ROUND4.md): per-128-ray-packet
+# interval header tests + per-column-group row execution inside the
+# (8, 512) tile -- the sub-tile targeting the whole-tile machine cannot
+# express. Off until the hardware A/B (benchmarks/group_split_ab.py)
+# lands; output is bit-identical either way (tests/test_pallas.py).
+DEFAULT_GROUP_SPLIT = False
+
 _U = jnp.uint32
 _LANES = TILE_H * TILE_W  # rays per kernel program
 
@@ -291,7 +298,7 @@ def _scene_bounds(cluster_aabbs):
 def _wavefront_kernel(
     fparams_ref, iparams_ref, table_ref, caabb_ref, saabb_ref,
     *refs, cfg, num_clusters, csize, num_supers, ssize, collect_stats=False,
-    hdr_lanes=False, probe_which=None,
+    hdr_lanes=False, probe_which=None, groups=None,
 ):
     """One bounce segment over a (TILE_H, TILE_W) block of sorted rays.
 
@@ -311,11 +318,15 @@ def _wavefront_kernel(
         rest = refs[28:]
     bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1 = rest[:7]
     rest = rest[7:]
-    if hdr_lanes:
+    if hdr_lanes or groups:
         hdr = tuple(rest[:4])
         rest = rest[4:]
     else:
         hdr = None
+    glist_ref = None
+    if groups:
+        glist_ref = rest[0]
+        rest = rest[1:]
     counters = rest[0] if collect_stats else None
     lx, ly, lz = fparams_ref[0], fparams_ref[1], fparams_ref[2]
     hdr_r, hdr_g, hdr_b = fparams_ref[3], fparams_ref[4], fparams_ref[5]
@@ -371,6 +382,17 @@ def _wavefront_kernel(
         def row(buf, j, s2):
             return _pair_test(buf, j, ox, oy, oz, dx, dy, dz, s2, cfg)
 
+        def row_g(g, ddx, ddy, ddz):
+            sl = slice(g * 128, (g + 1) * 128)
+
+            def rf(buf, j, s2):
+                return _pair_test(
+                    buf, j, ox[:, sl], oy[:, sl], oz[:, sl],
+                    ddx[:, sl], ddy[:, sl], ddz[:, sl], s2, cfg,
+                )
+
+            return rf
+
         o_s = _ordered_stream_loop(
             table_ref, caabb_ref, saabb_ref,
             num_clusters, csize, num_supers, ssize,
@@ -381,6 +403,11 @@ def _wavefront_kernel(
             probe=(
                 (fparams_ref[14], probe_which)
                 if probe_which and probe_which != "shade" else None
+            ),
+            groups=groups, glist_ref=glist_ref,
+            row_fns=(
+                [row_g(g, dx, dy, dz) for g in range(groups)]
+                if groups else None
             ),
         )
         best_t, hit = o_s[0], o_s[1] != 0
@@ -432,6 +459,11 @@ def _wavefront_kernel(
                 srow, sinit,
                 bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
                 hdr=hdr,
+                groups=groups, glist_ref=glist_ref,
+                row_fns=(
+                    [row_g(g, wlx, wly, wlz) for g in range(groups)]
+                    if groups else None
+                ),
             )
             lit = nmask & (s_o[1] == 0)
             res_r = res_r + jnp.where(lit, bk_r, jnp.float32(0.0))
@@ -506,7 +538,7 @@ def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
     collect_stats=False, sort_mode=DEFAULT_SORT_MODE, tile_w=None,
-    hdr_lanes=None, probe_double=None,
+    hdr_lanes=None, probe_double=None, group_split=None,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
@@ -534,6 +566,7 @@ def path_trace_wavefront(
         interpret=interpret, rotation=rotation,
         collect_stats=collect_stats, sort_mode=sort_mode, tile_w=tile_w,
         hdr_lanes=hdr_lanes, probe_double=probe_double,
+        group_split=group_split,
     )
     if collect_stats:
         (r, g, b), stats = out
@@ -554,7 +587,7 @@ def path_trace_wavefront(
 def trace_pixels_wavefront(
     tri_data, camera_pos, light, frame_idx, px, py, cfg,
     rotation=None, interpret=False, sort_mode=DEFAULT_SORT_MODE,
-    tile_w=None, hdr_lanes=None,
+    tile_w=None, hdr_lanes=None, group_split=None,
 ):
     """Wavefront twin of ops.pathtrace.trace_pixels: trace EXPLICIT global
     pixel coordinate arrays through the HBM-streamed wavefront tracer.
@@ -573,6 +606,7 @@ def trace_pixels_wavefront(
         jnp.asarray(py, jnp.int32).reshape(-1),
         interpret=interpret, rotation=rotation,
         sort_mode=sort_mode, tile_w=tile_w, hdr_lanes=hdr_lanes,
+        group_split=group_split,
     )
     return jnp.stack(
         [r.reshape(shape), g.reshape(shape), b.reshape(shape)], axis=-1
@@ -583,7 +617,7 @@ def _wavefront_core(
     tri_data, camera_pos, light, frame_idx, cfg, px_flat, py_flat,
     *, interpret=False, rotation=None, collect_stats=False,
     sort_mode=DEFAULT_SORT_MODE, tile_w=None, hdr_lanes=None,
-    probe_double=None,
+    probe_double=None, group_split=None,
 ):
     """Shared wavefront trace over a flat list of global pixel coords.
 
@@ -596,6 +630,13 @@ def _wavefront_core(
     kernel -- see _ordered_stream_loop). Output stays bit-identical."""
     if hdr_lanes is None:
         hdr_lanes = DEFAULT_HDR_LANES
+    if group_split is None:
+        group_split = DEFAULT_GROUP_SPLIT
+    if group_split:
+        assert not hdr_lanes, "group_split supersedes hdr_lanes"
+        assert not collect_stats and probe_double is None, (
+            "stats/probes target the row-major walk"
+        )
     pair_table = tri_data.pair_table
     cluster_aabbs = tri_data.cluster_aabbs
     super_aabbs = tri_data.super_aabbs
@@ -623,7 +664,7 @@ def _wavefront_core(
     )
     table = assemble_stream_table(
         table, getattr(tri_data, "sub_aabbs", None), num_clusters, csize,
-        hdr_lanes=hdr_lanes,
+        hdr_lanes=hdr_lanes or group_split,
     )
     if super_aabbs is None:
         super_aabbs = jnp.zeros((1, 6), jnp.float32)
@@ -691,11 +732,12 @@ def _wavefront_core(
     plane_spec = pl.BlockSpec((TILE_H, tw), lambda i: (i, 0))
 
     def run_segment(seg, planes, stats=False):
+        groups = tw // 128 if group_split else None
         kernel = functools.partial(
             _wavefront_kernel, cfg=cfg,
             num_clusters=num_clusters, csize=csize,
             num_supers=num_supers, ssize=ssize, collect_stats=stats,
-            hdr_lanes=hdr_lanes,
+            hdr_lanes=hdr_lanes, groups=groups,
             # kernel-side probes only; sort/raygen/descramble double their
             # XLA phases outside the kernel
             probe_which=(
@@ -713,9 +755,10 @@ def _wavefront_core(
             ]
         )
         out_specs = [plane_spec] * 14
-        # lane-parallel mode splits each cluster DMA: rows -> SMEM,
-        # transposed header block -> VMEM (vector-readable)
-        smem_rows = csize if hdr_lanes else csize + nsub_for(csize)
+        # transposed-header modes (hdr_lanes / group_split) split each
+        # cluster DMA: rows -> SMEM, header block -> VMEM (vector-readable)
+        transposed = hdr_lanes or group_split
+        smem_rows = csize if transposed else csize + nsub_for(csize)
         scratch = [
             pltpu.SMEM((num_clusters,), jnp.int32),
             pltpu.SMEM((num_clusters,), jnp.int32),
@@ -725,13 +768,18 @@ def _wavefront_core(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
-        if hdr_lanes:
+        if transposed:
             scratch += [
                 pltpu.VMEM((HDR_ROWS, 128), f32),
                 pltpu.VMEM((HDR_ROWS, 128), f32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ]
+        if group_split:
+            # per-group compacted sub-block id lists (run_groups)
+            scratch.append(
+                pltpu.SMEM(((tw // 128) * nsub_for(csize),), jnp.int32)
+            )
         if stats:
             out_shape.append(
                 jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32)
