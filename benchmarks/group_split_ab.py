@@ -1,4 +1,4 @@
-"""Hardware A/B: wavefront tracer whole-tile vs group-split walk.
+"""Hardware A/B: wavefront tracer whole-tile walk vs a flagged variant.
 
 The group-split walk (docs/DESIGN_ROUND4.md; _ordered_stream_loop
 ``groups``) replaces the per-run-cluster header phase (nsub sequential
@@ -26,6 +26,10 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import proce
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--frames", type=int, default=3)
+parser.add_argument(
+    "--mode", default="group_split", choices=["group_split", "vmem_prune"],
+    help="which flagged walk variant the ON arm enables",
+)
 parser.add_argument("--tris", default="32768,247808")
 parser.add_argument("--soup", action="store_true")
 parser.add_argument("--tile-w", type=int, default=None)
@@ -65,23 +69,23 @@ for tris in [int(t) for t in cli.tris.split(",")]:
     td = ptsf.precompute_triangle_data(scene)
     ntri = scene.num_triangles
     for gs in (False, True):
+        kw = {cli.mode: gs, "tile_w": cli.tile_w}
         wf = jax.jit(
-            lambda gs=gs: wf_mod.path_trace_wavefront(
-                td, cam.position, light, 1, cfg, group_split=gs,
-                tile_w=cli.tile_w,
+            lambda kw=kw: wf_mod.path_trace_wavefront(
+                td, cam.position, light, 1, cfg, **kw
             )[..., 0]
         )
         try:
             ms = time_fn(wf, cli.frames)
             print(
                 f"tris={ntri:>7} soup={cli.soup} "
-                f"tw={cli.tile_w or wf_mod.TILE_W} group_split={gs} "
+                f"tw={cli.tile_w or wf_mod.TILE_W} {cli.mode}={gs} "
                 f"{ms:10.1f} ms",
                 flush=True,
             )
         except Exception as e:  # noqa: BLE001
             print(
-                f"tris={ntri:>7} group_split={gs} FAILED "
+                f"tris={ntri:>7} {cli.mode}={gs} FAILED "
                 f"{type(e).__name__}: {e}",
                 flush=True,
             )

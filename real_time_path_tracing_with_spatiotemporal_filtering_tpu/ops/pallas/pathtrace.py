@@ -873,6 +873,7 @@ def _ordered_stream_loop(
     bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
     counters=None, hdr=None, probe=None,
     groups=None, row_fns=None, glist_ref=None,
+    vprune=None,
 ):
     """Streamed nearest-hit traversal in approximate front-to-back order.
 
@@ -979,6 +980,25 @@ def _ordered_stream_loop(
     the row-major walk (tests/test_pallas.py). Requires ``hdr`` (the
     transposed-header layout) + ``row_fns`` (per-group row closures) +
     ``glist_ref`` (SMEM (groups*nsub,) int32 scratch).
+
+    ``vprune``: resident-VMEM header pre-prune -- ``(tsub_ref, vflag_ref)``
+    where ``tsub_ref`` is the WHOLE scene's transposed sub-block box table
+    resident in VMEM ((num_clusters*8, 128) f32: component r of cluster
+    c's sub-block sb at [c*8+r, sb]) and ``vflag_ref`` an (nsub,) int32
+    SMEM scratch. Per run cluster, six dynamic-sublane reads fetch the
+    cluster's boxes as VECTORS (measured ~free, benchmarks/mosaic_micro)
+    and one conservative test per 128-lane column group -- the
+    [origin, inv-direction] interval slab AND an origin-box-to-box
+    distance bound against the per-packet committed best -- covers all
+    nsub boxes x 8 packets at once. Sub-blocks no packet can reach skip
+    their EXACT whole-tile header test entirely (pl.when, measured
+    ~free). Both pre-tests bound every live lane of a packet, so each
+    exact per-lane pass implies a pre-pass: gating is a conservative
+    superset and the committed output is bit-identical. Unlike the
+    group-split row walk (measured and rejected, docs/DESIGN_ROUND4.md),
+    the exact per-lane header tests still decide which rows run -- the
+    pre-test only removes arithmetic for unreachable boxes. Row-major
+    headers only (no ``hdr``/``groups``).
     """
     assert num_clusters < (1 << 16), "packed visit entries hold 16-bit ids"
     tiny = jnp.float32(1e-12)
@@ -991,6 +1011,95 @@ def _ordered_stream_loop(
     p_scale, p_which = probe if probe is not None else (None, None)
     if p_which is not None:
         assert hdr is None, "doubling probes support row-major headers only"
+
+    vprune_on = vprune is not None
+    if vprune_on:
+        assert hdr is None and not groups, (
+            "vprune composes with the row-major header walk"
+        )
+        assert counters is None and probe is None, (
+            "stats/probes target the unpruned walk"
+        )
+        tsub_ref, vflag_ref = vprune
+        vp_pos = jnp.float32(3.4e38)
+        vp_neg = jnp.float32(-3.4e38)
+        vp_groups = ox.shape[1] // 128
+        vp_sl = [slice(g * 128, (g + 1) * 128) for g in range(vp_groups)]
+        vp_alive = [alive[:, sl] for sl in vp_sl]
+        # per-PACKET [origin, inv-dir] intervals, once per call: a packet
+        # is one (sublane, column-group) cell = 128 consecutive sort-order
+        # rays (see docstring)
+        vp_ivals = []
+        for g, sl in enumerate(vp_sl):
+            per_ax = []
+            for o, iv in ((ox, inv_dx), (oy, inv_dy), (oz, inv_dz)):
+                o_g, iv_g = o[:, sl], iv[:, sl]
+                per_ax.append((
+                    jnp.min(jnp.where(vp_alive[g], o_g, vp_pos), axis=1,
+                            keepdims=True),
+                    jnp.max(jnp.where(vp_alive[g], o_g, vp_neg), axis=1,
+                            keepdims=True),
+                    jnp.min(jnp.where(vp_alive[g], iv_g, vp_pos), axis=1,
+                            keepdims=True),
+                    jnp.max(jnp.where(vp_alive[g], iv_g, vp_neg), axis=1,
+                            keepdims=True),
+                ))
+            vp_ivals.append(per_ax)
+
+        def vp_words(c, best0):
+            """16-bit mask words over sub-blocks some packet can reach
+            inside cluster ``c`` with a hit nearer than its committed
+            best: interval slab AND origin-box distance bound, boxes in
+            lanes from the resident transposed table."""
+            base = c * HDR_ROWS
+            hrows = [
+                tsub_ref[pl.ds(base + r, 1), :] for r in range(6)
+            ]
+            cols = tsub_ref.shape[1]
+            pass_m = None
+            for g in range(vp_groups):
+                best_pk = jnp.max(
+                    jnp.where(vp_alive[g], best0[:, vp_sl[g]], vp_neg),
+                    axis=1, keepdims=True,
+                )
+                tmin_lo = jnp.full((8, cols), vp_neg, jnp.float32)
+                tmax_hi = jnp.full((8, cols), vp_pos, jnp.float32)
+                d2 = jnp.zeros((8, cols), jnp.float32)
+                for ax in range(3):
+                    o_l, o_h, i_l, i_h = vp_ivals[g][ax]
+                    lo_c = hrows[ax]
+                    hi_c = hrows[ax + 3]
+                    a_l = lo_c - o_h
+                    a_h = lo_c - o_l
+                    b_l = hi_c - o_h
+                    b_h = hi_c - o_l
+                    p1, p2 = a_l * i_l, a_l * i_h
+                    p3, p4 = a_h * i_l, a_h * i_h
+                    t0_l = jnp.minimum(jnp.minimum(p1, p2),
+                                       jnp.minimum(p3, p4))
+                    t0_h = jnp.maximum(jnp.maximum(p1, p2),
+                                       jnp.maximum(p3, p4))
+                    q1, q2 = b_l * i_l, b_l * i_h
+                    q3, q4 = b_h * i_l, b_h * i_h
+                    t1_l = jnp.minimum(jnp.minimum(q1, q2),
+                                       jnp.minimum(q3, q4))
+                    t1_h = jnp.maximum(jnp.maximum(q1, q2),
+                                       jnp.maximum(q3, q4))
+                    tmin_lo = jnp.maximum(tmin_lo, jnp.minimum(t0_l, t1_l))
+                    tmax_hi = jnp.minimum(tmax_hi, jnp.maximum(t0_h, t1_h))
+                    # distance bound: gap(box, origin box) per axis; a_l =
+                    # lo_b - o_h and -b_h = o_l - hi_b are exactly the two
+                    # signed gaps
+                    gap = jnp.maximum(jnp.maximum(a_l, -b_h), 0.0)
+                    d2 = d2 + gap * gap
+                ok = (
+                    (tmax_hi >= jnp.maximum(tmin_lo, 0.0))
+                    & (tmin_lo < best_pk)
+                    & (d2 < best_pk * best_pk)
+                )
+                okg = jnp.any(ok, axis=0, keepdims=True)
+                pass_m = okg if pass_m is None else (pass_m | okg)
+            return _lane_mask_words16(pass_m, nsub)
 
     def dup_slab(aabb_ref, c, best):
         """One perturbed-but-identical slab test for the doubling probes;
@@ -1355,8 +1464,8 @@ def _ordered_stream_loop(
             # t >= tmin_sb >= best, so the strict < in _pair_test never
             # commits them -- output bit-identical, only spare rows.
             best0 = s[0]
-            n_pass = jnp.int32(0)
-            for sb in range(nsub):
+
+            def exact_sb(sb):
                 lox, loy, loz = buf[sb, 0], buf[sb, 1], buf[sb, 2]
                 hix, hiy, hiz = buf[sb, 3], buf[sb, 4], buf[sb, 5]
                 tx0 = (lox - ox) * inv_dx
@@ -1378,7 +1487,41 @@ def _ordered_stream_loop(
                     jnp.maximum(tz0, tz1),
                 )
                 ok_sb = tmax_sb >= jnp.maximum(tmin_sb, 0.0)
-                near_sb = alive & ok_sb & (tmin_sb < best0)
+                return alive & ok_sb & (tmin_sb < best0)
+
+            if vprune_on:
+                # conservative pre-verdict over all sub-blocks at once;
+                # pruned boxes skip their exact whole-tile test entirely
+                # (pl.when is ~free, benchmarks/mosaic_micro). The exact
+                # verdicts park in vflag_ref; compaction is a second
+                # branch-free pass (store-then-advance).
+                vwords = vp_words(c, best0)
+                for sb in range(nsub):
+                    vflag_ref[sb] = 0
+
+                    @pl.when(((vwords[sb >> 4] >> (sb & 15)) & 1) == 1)
+                    def _(sb=sb):
+                        vflag_ref[sb] = jnp.any(exact_sb(sb)).astype(
+                            jnp.int32
+                        )
+                n_pass = jnp.int32(0)
+                for sb in range(nsub):
+                    cnt_ref[n_pass] = sb
+                    n_pass = n_pass + vflag_ref[sb]
+
+                def sub_run_v(i, s2):
+                    sb_i = cnt_ref[i]
+
+                    def body(j, s3):
+                        return row_fn(buf, nsub + sb_i * k_rows + j, s3)
+
+                    return jax.lax.fori_loop(0, k_rows, body, s2)
+
+                return jax.lax.fori_loop(0, n_pass, sub_run_v, s)
+
+            n_pass = jnp.int32(0)
+            for sb in range(nsub):
+                near_sb = exact_sb(sb)
                 run_sb = jnp.any(near_sb)
                 if counters is not None:
                     # [7]: 128-lane vreg groups with >=1 needy lane, summed

@@ -71,6 +71,18 @@ DEFAULT_HDR_LANES = False
 # lands; output is bit-identical either way (tests/test_pallas.py).
 DEFAULT_GROUP_SPLIT = False
 
+# Resident-VMEM header pre-prune (docs/DESIGN_ROUND4.md): the whole
+# scene's transposed sub-block box table lives in VMEM; per run cluster
+# one conservative interval+distance test per 128-lane column group
+# covers all nsub boxes x 8 packets and gates the exact whole-tile
+# header tests (bit-identical superset). Off until the hardware A/B.
+DEFAULT_VMEM_PRUNE = False
+
+# VMEM budget for the resident table: (clusters * 8 rows * 512 B). 10 MB
+# covers ~2560 clusters ~= 1.2M tris at csize 64; bigger scenes fall back
+# to the unpruned walk.
+VMEM_PRUNE_MAX_BYTES = 10 * 1024 * 1024
+
 _U = jnp.uint32
 _LANES = TILE_H * TILE_W  # rays per kernel program
 
@@ -298,7 +310,7 @@ def _scene_bounds(cluster_aabbs):
 def _wavefront_kernel(
     fparams_ref, iparams_ref, table_ref, caabb_ref, saabb_ref,
     *refs, cfg, num_clusters, csize, num_supers, ssize, collect_stats=False,
-    hdr_lanes=False, probe_which=None, groups=None,
+    hdr_lanes=False, probe_which=None, groups=None, vprune_on=False,
 ):
     """One bounce segment over a (TILE_H, TILE_W) block of sorted rays.
 
@@ -307,6 +319,10 @@ def _wavefront_kernel(
     scratch refs (bins, ids, cnt, two DMA buffers + semaphores, the two
     VMEM header buffers + semaphores when ``hdr_lanes``, and the (8,)
     counters ref when ``collect_stats``)."""
+    tsub_ref = None
+    if vprune_on:
+        tsub_ref = refs[0]
+        refs = refs[1:]
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
      tpr_r, tpg_r, tpb_r, rsr_r, rsg_r, rsb_r, st_r, al_r) = refs[:14]
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
@@ -326,6 +342,10 @@ def _wavefront_kernel(
     glist_ref = None
     if groups:
         glist_ref = rest[0]
+        rest = rest[1:]
+    vflag_ref = None
+    if vprune_on:
+        vflag_ref = rest[0]
         rest = rest[1:]
     counters = rest[0] if collect_stats else None
     lx, ly, lz = fparams_ref[0], fparams_ref[1], fparams_ref[2]
@@ -409,6 +429,7 @@ def _wavefront_kernel(
                 [row_g(g, dx, dy, dz) for g in range(groups)]
                 if groups else None
             ),
+            vprune=(tsub_ref, vflag_ref) if vprune_on else None,
         )
         best_t, hit = o_s[0], o_s[1] != 0
         shaded = _shade_segment(
@@ -464,6 +485,7 @@ def _wavefront_kernel(
                     [row_g(g, wlx, wly, wlz) for g in range(groups)]
                     if groups else None
                 ),
+                vprune=(tsub_ref, vflag_ref) if vprune_on else None,
             )
             lit = nmask & (s_o[1] == 0)
             res_r = res_r + jnp.where(lit, bk_r, jnp.float32(0.0))
@@ -538,7 +560,7 @@ def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
     collect_stats=False, sort_mode=DEFAULT_SORT_MODE, tile_w=None,
-    hdr_lanes=None, probe_double=None, group_split=None,
+    hdr_lanes=None, probe_double=None, group_split=None, vmem_prune=None,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
@@ -566,7 +588,7 @@ def path_trace_wavefront(
         interpret=interpret, rotation=rotation,
         collect_stats=collect_stats, sort_mode=sort_mode, tile_w=tile_w,
         hdr_lanes=hdr_lanes, probe_double=probe_double,
-        group_split=group_split,
+        group_split=group_split, vmem_prune=vmem_prune,
     )
     if collect_stats:
         (r, g, b), stats = out
@@ -587,7 +609,7 @@ def path_trace_wavefront(
 def trace_pixels_wavefront(
     tri_data, camera_pos, light, frame_idx, px, py, cfg,
     rotation=None, interpret=False, sort_mode=DEFAULT_SORT_MODE,
-    tile_w=None, hdr_lanes=None, group_split=None,
+    tile_w=None, hdr_lanes=None, group_split=None, vmem_prune=None,
 ):
     """Wavefront twin of ops.pathtrace.trace_pixels: trace EXPLICIT global
     pixel coordinate arrays through the HBM-streamed wavefront tracer.
@@ -606,7 +628,7 @@ def trace_pixels_wavefront(
         jnp.asarray(py, jnp.int32).reshape(-1),
         interpret=interpret, rotation=rotation,
         sort_mode=sort_mode, tile_w=tile_w, hdr_lanes=hdr_lanes,
-        group_split=group_split,
+        group_split=group_split, vmem_prune=vmem_prune,
     )
     return jnp.stack(
         [r.reshape(shape), g.reshape(shape), b.reshape(shape)], axis=-1
@@ -617,7 +639,7 @@ def _wavefront_core(
     tri_data, camera_pos, light, frame_idx, cfg, px_flat, py_flat,
     *, interpret=False, rotation=None, collect_stats=False,
     sort_mode=DEFAULT_SORT_MODE, tile_w=None, hdr_lanes=None,
-    probe_double=None, group_split=None,
+    probe_double=None, group_split=None, vmem_prune=None,
 ):
     """Shared wavefront trace over a flat list of global pixel coords.
 
@@ -636,6 +658,15 @@ def _wavefront_core(
         assert not hdr_lanes, "group_split supersedes hdr_lanes"
         assert not collect_stats and probe_double is None, (
             "stats/probes target the row-major walk"
+        )
+    if vmem_prune is None:
+        vmem_prune = DEFAULT_VMEM_PRUNE
+    if vmem_prune:
+        assert not (hdr_lanes or group_split), (
+            "vmem_prune composes with the row-major walk"
+        )
+        assert not collect_stats and probe_double is None, (
+            "stats/probes target the unpruned walk"
         )
     pair_table = tri_data.pair_table
     cluster_aabbs = tri_data.cluster_aabbs
@@ -662,10 +693,30 @@ def _wavefront_core(
         [table, jnp.zeros((int(table.shape[0]), 128 - PAIR_COLS), jnp.float32)],
         axis=1,
     )
+    sub_aabbs = getattr(tri_data, "sub_aabbs", None)
     table = assemble_stream_table(
-        table, getattr(tri_data, "sub_aabbs", None), num_clusters, csize,
+        table, sub_aabbs, num_clusters, csize,
         hdr_lanes=hdr_lanes or group_split,
     )
+    tsub_flat = None
+    if vmem_prune:
+        nsub = nsub_for(csize)
+        tsub_bytes = num_clusters * HDR_ROWS * 128 * 4
+        if sub_aabbs is None or tsub_bytes > VMEM_PRUNE_MAX_BYTES:
+            # no sub-boxes to prune with / table over the VMEM budget:
+            # fall back to the unpruned walk
+            vmem_prune = False
+        else:
+            t6 = jnp.transpose(
+                jnp.asarray(sub_aabbs, jnp.float32).reshape(
+                    num_clusters, nsub, 6
+                ),
+                (0, 2, 1),
+            )
+            tsub = jnp.zeros(
+                (num_clusters, HDR_ROWS, 128), jnp.float32
+            ).at[:, :6, :nsub].set(t6)
+            tsub_flat = tsub.reshape(num_clusters * HDR_ROWS, 128)
     if super_aabbs is None:
         super_aabbs = jnp.zeros((1, 6), jnp.float32)
     caabb_flat = cluster_aabbs.reshape(-1)
@@ -737,7 +788,7 @@ def _wavefront_core(
             _wavefront_kernel, cfg=cfg,
             num_clusters=num_clusters, csize=csize,
             num_supers=num_supers, ssize=ssize, collect_stats=stats,
-            hdr_lanes=hdr_lanes, groups=groups,
+            hdr_lanes=hdr_lanes, groups=groups, vprune_on=vmem_prune,
             # kernel-side probes only; sort/raygen/descramble double their
             # XLA phases outside the kernel
             probe_which=(
@@ -780,6 +831,9 @@ def _wavefront_core(
             scratch.append(
                 pltpu.SMEM(((tw // 128) * nsub_for(csize),), jnp.int32)
             )
+        if vmem_prune:
+            # exact header verdicts under the conservative pre-gate
+            scratch.append(pltpu.SMEM((nsub_for(csize),), jnp.int32))
         if stats:
             out_shape.append(
                 jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32)
@@ -789,22 +843,26 @@ def _wavefront_core(
             )
             scratch.append(pltpu.SMEM((8,), jnp.int32))
         iparams = jnp.asarray(seg, jnp.int32).reshape(1)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        args = [fparams, iparams, table, caabb_flat, saabb_flat]
+        if vmem_prune:
+            # the whole transposed sub-block box table rides in VMEM
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(tsub_flat)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-            + [
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ]
-            + [plane_spec] * 14,
+            in_specs=in_specs + [plane_spec] * 14,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
             # AABB tables flat 1D (2D SMEM lane-pads to 128 cols)
-        )(fparams, iparams, table, caabb_flat, saabb_flat, *planes)
+        )(*args, *planes)
         return tuple(outs)
 
     def _plane_key(ops):
