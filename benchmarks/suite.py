@@ -179,6 +179,20 @@ def run_suite(quick: bool):
         )
     )
 
+    # 4d. (extra, non-parity) the SPONZA-SCALE interactive config: the
+    # 247,808-tri stress scene with the same interactive levers as 4c
+    # (max_bounces=8, RR@2, adaptive alpha) -- the scale row the <1 s
+    # target tracks alongside the 32-bounce parity row 4
+    cfg4si = dataclasses.replace(cfg4i)
+    results.append(
+        (
+            f"cornell_subdiv{splits}_{32 * splits * splits}tris_1080p_interactive_nonparity",
+            bench_renderer(
+                lambda: ptsf.Renderer(big_scene, cfg4si), big_frames, orbit4
+            ),
+        )
+    )
+
     # 5. dynamic light + camera cuts, 4spp, gradient-driven rejection
     cfg5 = ptsf.RenderConfig(
         width=512, height=512, spp=4, adaptive_alpha=True
