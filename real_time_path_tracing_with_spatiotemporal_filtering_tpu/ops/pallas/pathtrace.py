@@ -872,8 +872,6 @@ def _ordered_stream_loop(
     row_fn, init_state,
     bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
     counters=None, hdr=None, probe=None,
-    groups=None, row_fns=None, glist_ref=None,
-    vprune=None,
 ):
     """Streamed nearest-hit traversal in approximate front-to-back order.
 
@@ -954,51 +952,13 @@ def _ordered_stream_loop(
     which a per-op cost model cannot give (round 2's model mispredicted
     two A/Bs; see docs/DESIGN_ROUND3.md). Row-major headers only.
 
-    ``groups``: GROUP-SPLIT walk (round 4) -- the per-ray BVH-descent
-    stand-in the whole-tile machine cannot reach (its max_best prunes
-    over ALL lanes: measured at 248k tris, 95% of visited clusters run
-    for ~1.5% of lanes, docs/DESIGN_ROUND4.md). The tile's lanes split
-    into ``groups`` static 128-lane column groups; each (sublane, group)
-    cell is a PACKET of 128 consecutive sort-order rays. Per run cluster:
-
-      * ONE interval slab test per group covers all nsub sub-block boxes
-        x all 8 of its packets at once (boxes in lanes from the
-        transposed VMEM header, per-packet [origin, inv-dir] intervals in
-        sublanes, per-packet committed best as the prune bound) --
-        replacing nsub sequential whole-tile tests;
-      * the passing sub-block ids compact per group into ``glist_ref``
-        branch-free (store-then-conditionally-advance, no pl.when);
-      * rows run per group on 1-vreg slices via ``row_fns[g]``, against
-        per-group state.
-
-    State is carried group-split: (best_full, *per-group 8-plane tuples),
-    where best_full is a whole-tile best refreshed once per run cluster
-    -- staler than per-lane, so the visit/issue pruning it feeds is
-    conservative, never wrong. The interval test bounds every lane of a
-    packet, so each exact per-lane pass implies a packet pass (superset;
-    spare rows never commit past strict <): output is bit-identical to
-    the row-major walk (tests/test_pallas.py). Requires ``hdr`` (the
-    transposed-header layout) + ``row_fns`` (per-group row closures) +
-    ``glist_ref`` (SMEM (groups*nsub,) int32 scratch).
-
-    ``vprune``: resident-VMEM header pre-prune -- ``(tsub_ref, vflag_ref)``
-    where ``tsub_ref`` is the WHOLE scene's transposed sub-block box table
-    resident in VMEM ((num_clusters*8, 128) f32: component r of cluster
-    c's sub-block sb at [c*8+r, sb]) and ``vflag_ref`` an (nsub,) int32
-    SMEM scratch. Per run cluster, six dynamic-sublane reads fetch the
-    cluster's boxes as VECTORS (measured ~free, benchmarks/mosaic_micro)
-    and one conservative test per 128-lane column group -- the
-    [origin, inv-direction] interval slab AND an origin-box-to-box
-    distance bound against the per-packet committed best -- covers all
-    nsub boxes x 8 packets at once. Sub-blocks no packet can reach skip
-    their EXACT whole-tile header test entirely (pl.when, measured
-    ~free). Both pre-tests bound every live lane of a packet, so each
-    exact per-lane pass implies a pre-pass: gating is a conservative
-    superset and the committed output is bit-identical. Unlike the
-    group-split row walk (measured and rejected, docs/DESIGN_ROUND4.md),
-    the exact per-lane header tests still decide which rows run -- the
-    pre-test only removes arithmetic for unreachable boxes. Row-major
-    headers only (no ``hdr``/``groups``).
+    Two round-4 sub-tile variants of this walk -- group_split (per-128-
+    ray-packet interval headers + per-column-group row execution) and
+    vmem_prune (resident-VMEM conservative header pre-gate) -- were
+    MEASURED AND REJECTED on v5e (2-3x losses at both 32k and 248k tris,
+    worsening with scale; docs/DESIGN_ROUND4.md) and deleted per the
+    variant-pruning policy. Implementations in git history: commits
+    ca82dad (group_split), 6260322 (vmem_prune).
     """
     assert num_clusters < (1 << 16), "packed visit entries hold 16-bit ids"
     tiny = jnp.float32(1e-12)
@@ -1011,95 +971,6 @@ def _ordered_stream_loop(
     p_scale, p_which = probe if probe is not None else (None, None)
     if p_which is not None:
         assert hdr is None, "doubling probes support row-major headers only"
-
-    vprune_on = vprune is not None
-    if vprune_on:
-        assert hdr is None and not groups, (
-            "vprune composes with the row-major header walk"
-        )
-        assert counters is None and probe is None, (
-            "stats/probes target the unpruned walk"
-        )
-        tsub_ref, vflag_ref = vprune
-        vp_pos = jnp.float32(3.4e38)
-        vp_neg = jnp.float32(-3.4e38)
-        vp_groups = ox.shape[1] // 128
-        vp_sl = [slice(g * 128, (g + 1) * 128) for g in range(vp_groups)]
-        vp_alive = [alive[:, sl] for sl in vp_sl]
-        # per-PACKET [origin, inv-dir] intervals, once per call: a packet
-        # is one (sublane, column-group) cell = 128 consecutive sort-order
-        # rays (see docstring)
-        vp_ivals = []
-        for g, sl in enumerate(vp_sl):
-            per_ax = []
-            for o, iv in ((ox, inv_dx), (oy, inv_dy), (oz, inv_dz)):
-                o_g, iv_g = o[:, sl], iv[:, sl]
-                per_ax.append((
-                    jnp.min(jnp.where(vp_alive[g], o_g, vp_pos), axis=1,
-                            keepdims=True),
-                    jnp.max(jnp.where(vp_alive[g], o_g, vp_neg), axis=1,
-                            keepdims=True),
-                    jnp.min(jnp.where(vp_alive[g], iv_g, vp_pos), axis=1,
-                            keepdims=True),
-                    jnp.max(jnp.where(vp_alive[g], iv_g, vp_neg), axis=1,
-                            keepdims=True),
-                ))
-            vp_ivals.append(per_ax)
-
-        def vp_words(c, best0):
-            """16-bit mask words over sub-blocks some packet can reach
-            inside cluster ``c`` with a hit nearer than its committed
-            best: interval slab AND origin-box distance bound, boxes in
-            lanes from the resident transposed table."""
-            base = c * HDR_ROWS
-            hrows = [
-                tsub_ref[pl.ds(base + r, 1), :] for r in range(6)
-            ]
-            cols = tsub_ref.shape[1]
-            pass_m = None
-            for g in range(vp_groups):
-                best_pk = jnp.max(
-                    jnp.where(vp_alive[g], best0[:, vp_sl[g]], vp_neg),
-                    axis=1, keepdims=True,
-                )
-                tmin_lo = jnp.full((8, cols), vp_neg, jnp.float32)
-                tmax_hi = jnp.full((8, cols), vp_pos, jnp.float32)
-                d2 = jnp.zeros((8, cols), jnp.float32)
-                for ax in range(3):
-                    o_l, o_h, i_l, i_h = vp_ivals[g][ax]
-                    lo_c = hrows[ax]
-                    hi_c = hrows[ax + 3]
-                    a_l = lo_c - o_h
-                    a_h = lo_c - o_l
-                    b_l = hi_c - o_h
-                    b_h = hi_c - o_l
-                    p1, p2 = a_l * i_l, a_l * i_h
-                    p3, p4 = a_h * i_l, a_h * i_h
-                    t0_l = jnp.minimum(jnp.minimum(p1, p2),
-                                       jnp.minimum(p3, p4))
-                    t0_h = jnp.maximum(jnp.maximum(p1, p2),
-                                       jnp.maximum(p3, p4))
-                    q1, q2 = b_l * i_l, b_l * i_h
-                    q3, q4 = b_h * i_l, b_h * i_h
-                    t1_l = jnp.minimum(jnp.minimum(q1, q2),
-                                       jnp.minimum(q3, q4))
-                    t1_h = jnp.maximum(jnp.maximum(q1, q2),
-                                       jnp.maximum(q3, q4))
-                    tmin_lo = jnp.maximum(tmin_lo, jnp.minimum(t0_l, t1_l))
-                    tmax_hi = jnp.minimum(tmax_hi, jnp.maximum(t0_h, t1_h))
-                    # distance bound: gap(box, origin box) per axis; a_l =
-                    # lo_b - o_h and -b_h = o_l - hi_b are exactly the two
-                    # signed gaps
-                    gap = jnp.maximum(jnp.maximum(a_l, -b_h), 0.0)
-                    d2 = d2 + gap * gap
-                ok = (
-                    (tmax_hi >= jnp.maximum(tmin_lo, 0.0))
-                    & (tmin_lo < best_pk)
-                    & (d2 < best_pk * best_pk)
-                )
-                okg = jnp.any(ok, axis=0, keepdims=True)
-                pass_m = okg if pass_m is None else (pass_m | okg)
-            return _lane_mask_words16(pass_m, nsub)
 
     def dup_slab(aabb_ref, c, best):
         """One perturbed-but-identical slab test for the doubling probes;
@@ -1176,48 +1047,6 @@ def _ordered_stream_loop(
     # --- walk phase: pipelined DMA over sorted cluster entries ---
     nsub = nsub_for(csize)
     hdr_lanes = hdr is not None
-    if groups:
-        assert hdr is not None and row_fns is not None and glist_ref is not None
-        assert probe is None and counters is None, (
-            "probes/counters target the row-major walk"
-        )
-        pos_f = jnp.float32(3.4e38)
-        neg_f = jnp.float32(-3.4e38)
-        lpg = ox.shape[1] // groups  # lanes per column group (128)
-        assert lpg == 128, "group-split expects 128-lane column groups"
-        gsl = [slice(g * lpg, (g + 1) * lpg) for g in range(groups)]
-        alive_gs = [alive[:, sl] for sl in gsl]
-        # Per-PACKET [origin, inv-direction] intervals, reduced once per
-        # call: packet = (sublane, group) = 128 consecutive sort-order
-        # rays, so the intervals are ~32x tighter than a whole-tile
-        # bundle. Mixed-sign direction axes just widen the inv interval
-        # (conservative); fully-dead packets invert to [+big, -big] and
-        # self-reject in the interval test.
-        ivals = []
-        for g, sl in enumerate(gsl):
-            per_ax = []
-            for o, iv in ((ox, inv_dx), (oy, inv_dy), (oz, inv_dz)):
-                o_g, iv_g = o[:, sl], iv[:, sl]
-                per_ax.append((
-                    jnp.min(jnp.where(alive_gs[g], o_g, pos_f), axis=1,
-                            keepdims=True),
-                    jnp.max(jnp.where(alive_gs[g], o_g, neg_f), axis=1,
-                            keepdims=True),
-                    jnp.min(jnp.where(alive_gs[g], iv_g, pos_f), axis=1,
-                            keepdims=True),
-                    jnp.max(jnp.where(alive_gs[g], iv_g, neg_f), axis=1,
-                            keepdims=True),
-                ))
-            ivals.append(per_ax)
-        # state -> (best_full, *group-major planes): position 0 keeps the
-        # whole-tile best every pruning site already reads (state[0]);
-        # refreshed per run cluster, so those prunes see a stale-but-
-        # monotone bound (conservative, bit-identical).
-        n_planes = len(init_state)
-        full_planes = tuple(init_state)
-        init_state = (full_planes[0],) + tuple(
-            p[:, sl] for sl in gsl for p in full_planes
-        )
     if hdr_lanes:
         hbuf0, hbuf1, hsem0, hsem1 = hdr
         block = HDR_ROWS + csize  # transposed header block + table rows
@@ -1227,7 +1056,7 @@ def _ordered_stream_loop(
         # just widens the inv interval -- still conservative.
         pos_f = jnp.float32(3.4e38)
         neg_f = jnp.float32(-3.4e38)
-        bundle = None if groups else tuple(
+        bundle = tuple(
             (
                 jnp.min(jnp.where(alive, o, pos_f)),
                 jnp.max(jnp.where(alive, o, neg_f)),
@@ -1372,87 +1201,6 @@ def _ordered_stream_loop(
 
             return jax.lax.fori_loop(0, n_pass, sub_run, s)
 
-        def run_groups(s):
-            # Group-split walk (see docstring): per column group, ONE
-            # interval slab test covers all nsub sub-block boxes x 8
-            # packets, passing ids compact branch-free, and rows run on
-            # 1-vreg group slices against per-group state.
-            best_full = s[0]
-            gs = list(s[1:])
-            cols = hbuf.shape[1]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (8, cols), 1)
-            new_gs = []
-            for g in range(groups):
-                s_g = tuple(gs[g * n_planes:(g + 1) * n_planes])
-                # per-packet committed best: the prune bound each packet's
-                # interval test uses (>= every lane's best in the packet)
-                best_pk = jnp.max(
-                    jnp.where(alive_gs[g], s_g[0], neg_f),
-                    axis=1, keepdims=True,
-                )
-                tmin_lo = jnp.full((8, cols), neg_f, jnp.float32)
-                tmax_hi = jnp.full((8, cols), pos_f, jnp.float32)
-                for ax in range(3):
-                    o_l, o_h, i_l, i_h = ivals[g][ax]
-                    lo_c = hbuf[ax:ax + 1, :]
-                    hi_c = hbuf[ax + 3:ax + 4, :]
-                    a_l = lo_c - o_h
-                    a_h = lo_c - o_l
-                    b_l = hi_c - o_h
-                    b_h = hi_c - o_l
-                    p1, p2 = a_l * i_l, a_l * i_h
-                    p3, p4 = a_h * i_l, a_h * i_h
-                    t0_l = jnp.minimum(
-                        jnp.minimum(p1, p2), jnp.minimum(p3, p4)
-                    )
-                    t0_h = jnp.maximum(
-                        jnp.maximum(p1, p2), jnp.maximum(p3, p4)
-                    )
-                    q1, q2 = b_l * i_l, b_l * i_h
-                    q3, q4 = b_h * i_l, b_h * i_h
-                    t1_l = jnp.minimum(
-                        jnp.minimum(q1, q2), jnp.minimum(q3, q4)
-                    )
-                    t1_h = jnp.maximum(
-                        jnp.maximum(q1, q2), jnp.maximum(q3, q4)
-                    )
-                    tmin_lo = jnp.maximum(
-                        tmin_lo, jnp.minimum(t0_l, t1_l)
-                    )
-                    tmax_hi = jnp.minimum(
-                        tmax_hi, jnp.maximum(t0_h, t1_h)
-                    )
-                ok_m = (
-                    (lane < nsub)
-                    & (tmax_hi >= jnp.maximum(tmin_lo, 0.0))
-                    & (tmin_lo < best_pk)
-                )
-                # group mask = union over the 8 packets -> 16-bit words
-                words = _lane_mask_words16(
-                    jnp.any(ok_m, axis=0, keepdims=True), nsub
-                )
-                # branch-free compaction: store at the cursor, advance on
-                # a set bit (a clear bit's store is overwritten)
-                n_g = jnp.int32(0)
-                for sb in range(nsub):
-                    glist_ref[g * nsub + n_g] = sb
-                    n_g = n_g + ((words[sb >> 4] >> (sb & 15)) & 1)
-
-                def sub_run(i, s2, g=g):
-                    sb_i = glist_ref[g * nsub + i]
-
-                    def body(j, s3):
-                        return row_fns[g](buf, sb_i * k_rows + j, s3)
-
-                    return jax.lax.fori_loop(0, k_rows, body, s2)
-
-                s_g = jax.lax.fori_loop(0, n_g, sub_run, s_g)
-                new_gs.extend(s_g)
-            best_full = jnp.concatenate(
-                [new_gs[g * n_planes] for g in range(groups)], axis=1
-            )
-            return (best_full,) + tuple(new_gs)
-
         def run(s):
             # Header-test all nsub sub-blocks up front against the
             # cluster-ENTRY best, appending passing ids to cnt_ref (free
@@ -1488,36 +1236,6 @@ def _ordered_stream_loop(
                 )
                 ok_sb = tmax_sb >= jnp.maximum(tmin_sb, 0.0)
                 return alive & ok_sb & (tmin_sb < best0)
-
-            if vprune_on:
-                # conservative pre-verdict over all sub-blocks at once;
-                # pruned boxes skip their exact whole-tile test entirely
-                # (pl.when is ~free, benchmarks/mosaic_micro). The exact
-                # verdicts park in vflag_ref; compaction is a second
-                # branch-free pass (store-then-advance).
-                vwords = vp_words(c, best0)
-                for sb in range(nsub):
-                    vflag_ref[sb] = 0
-
-                    @pl.when(((vwords[sb >> 4] >> (sb & 15)) & 1) == 1)
-                    def _(sb=sb):
-                        vflag_ref[sb] = jnp.any(exact_sb(sb)).astype(
-                            jnp.int32
-                        )
-                n_pass = jnp.int32(0)
-                for sb in range(nsub):
-                    cnt_ref[n_pass] = sb
-                    n_pass = n_pass + vflag_ref[sb]
-
-                def sub_run_v(i, s2):
-                    sb_i = cnt_ref[i]
-
-                    def body(j, s3):
-                        return row_fn(buf, nsub + sb_i * k_rows + j, s3)
-
-                    return jax.lax.fori_loop(0, k_rows, body, s2)
-
-                return jax.lax.fori_loop(0, n_pass, sub_run_v, s)
 
             n_pass = jnp.int32(0)
             for sb in range(nsub):
@@ -1614,7 +1332,7 @@ def _ordered_stream_loop(
 
         state = jax.lax.cond(
             run_c,
-            run_groups if groups else (run_hdr_lanes if hdr_lanes else run),
+            run_hdr_lanes if hdr_lanes else run,
             lambda s: s,
             state,
         )
@@ -1652,19 +1370,6 @@ def _ordered_stream_loop(
 
         return jax.lax.fori_loop(0, (total + 1) // 2, body2, init_s)
 
-    def rejoin(state):
-        """Group-split state back to full-width planes (identity
-        otherwise); state[0] (best_full) is derived data, dropped."""
-        if not groups:
-            return state
-        return tuple(
-            jnp.concatenate(
-                [state[1 + g * n_planes + p] for g in range(groups)],
-                axis=1,
-            )
-            for p in range(n_planes)
-        )
-
     if not num_supers:
         # flat composition: visit every cluster once, sort, walk
         tot0 = jax.lax.fori_loop(
@@ -1683,7 +1388,7 @@ def _ordered_stream_loop(
             )
         if counters is not None:
             counters[0] = counters[0] + tot0
-        return rejoin(walk(counting_sort(tot0, 0), init_state))
+        return walk(counting_sort(tot0, 0), init_state)
 
     # --- super-major composition (see docstring): walk supers near-first
     # with a best-driven early exit; only run supers get their clusters
@@ -1748,7 +1453,7 @@ def _ordered_stream_loop(
     out = jax.lax.while_loop(
         s_cond, s_body, (jnp.int32(0),) + tuple(init_state)
     )
-    return rejoin(tuple(out[1:]))
+    return tuple(out[1:])
 
 
 def _nearest_hit_clustered(

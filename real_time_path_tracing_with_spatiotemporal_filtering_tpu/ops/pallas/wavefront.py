@@ -64,24 +64,14 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.pathtra
 # parity tests in tests/test_pallas.py).
 DEFAULT_HDR_LANES = False
 
-# Group-split walk (round 4, docs/DESIGN_ROUND4.md): per-128-ray-packet
-# interval header tests + per-column-group row execution inside the
-# (8, 512) tile -- the sub-tile targeting the whole-tile machine cannot
-# express. Off until the hardware A/B (benchmarks/group_split_ab.py)
-# lands; output is bit-identical either way (tests/test_pallas.py).
-DEFAULT_GROUP_SPLIT = False
-
-# Resident-VMEM header pre-prune (docs/DESIGN_ROUND4.md): the whole
-# scene's transposed sub-block box table lives in VMEM; per run cluster
-# one conservative interval+distance test per 128-lane column group
-# covers all nsub boxes x 8 packets and gates the exact whole-tile
-# header tests (bit-identical superset). Off until the hardware A/B.
-DEFAULT_VMEM_PRUNE = False
-
-# VMEM budget for the resident table: (clusters * 8 rows * 512 B). 10 MB
-# covers ~2560 clusters ~= 1.2M tris at csize 64; bigger scenes fall back
-# to the unpruned walk.
-VMEM_PRUNE_MAX_BYTES = 10 * 1024 * 1024
+# Two further sub-tile walk variants -- group_split (per-128-ray-packet
+# interval headers + per-column-group rows) and vmem_prune (resident-VMEM
+# conservative header pre-gate) -- were MEASURED AND REJECTED on v5e in
+# round 4 (group_split 3327/15741 ms vs baseline 1813/4948 at 32k/248k
+# tris 1080p; vmem_prune 3761/16448 ms) and deleted per the variant-
+# pruning policy (docs/DESIGN_ROUND4.md; implementations in git history:
+# commits ca82dad, 6260322). hdr_lanes above stays as the single gated
+# future-hardware re-test candidate.
 
 _U = jnp.uint32
 _LANES = TILE_H * TILE_W  # rays per kernel program
@@ -310,7 +300,7 @@ def _scene_bounds(cluster_aabbs):
 def _wavefront_kernel(
     fparams_ref, iparams_ref, table_ref, caabb_ref, saabb_ref,
     *refs, cfg, num_clusters, csize, num_supers, ssize, collect_stats=False,
-    hdr_lanes=False, probe_which=None, groups=None, vprune_on=False,
+    hdr_lanes=False, probe_which=None,
 ):
     """One bounce segment over a (TILE_H, TILE_W) block of sorted rays.
 
@@ -319,10 +309,6 @@ def _wavefront_kernel(
     scratch refs (bins, ids, cnt, two DMA buffers + semaphores, the two
     VMEM header buffers + semaphores when ``hdr_lanes``, and the (8,)
     counters ref when ``collect_stats``)."""
-    tsub_ref = None
-    if vprune_on:
-        tsub_ref = refs[0]
-        refs = refs[1:]
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
      tpr_r, tpg_r, tpb_r, rsr_r, rsg_r, rsb_r, st_r, al_r) = refs[:14]
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
@@ -334,19 +320,11 @@ def _wavefront_kernel(
         rest = refs[28:]
     bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1 = rest[:7]
     rest = rest[7:]
-    if hdr_lanes or groups:
+    if hdr_lanes:
         hdr = tuple(rest[:4])
         rest = rest[4:]
     else:
         hdr = None
-    glist_ref = None
-    if groups:
-        glist_ref = rest[0]
-        rest = rest[1:]
-    vflag_ref = None
-    if vprune_on:
-        vflag_ref = rest[0]
-        rest = rest[1:]
     counters = rest[0] if collect_stats else None
     lx, ly, lz = fparams_ref[0], fparams_ref[1], fparams_ref[2]
     hdr_r, hdr_g, hdr_b = fparams_ref[3], fparams_ref[4], fparams_ref[5]
@@ -402,17 +380,6 @@ def _wavefront_kernel(
         def row(buf, j, s2):
             return _pair_test(buf, j, ox, oy, oz, dx, dy, dz, s2, cfg)
 
-        def row_g(g, ddx, ddy, ddz):
-            sl = slice(g * 128, (g + 1) * 128)
-
-            def rf(buf, j, s2):
-                return _pair_test(
-                    buf, j, ox[:, sl], oy[:, sl], oz[:, sl],
-                    ddx[:, sl], ddy[:, sl], ddz[:, sl], s2, cfg,
-                )
-
-            return rf
-
         o_s = _ordered_stream_loop(
             table_ref, caabb_ref, saabb_ref,
             num_clusters, csize, num_supers, ssize,
@@ -424,12 +391,6 @@ def _wavefront_kernel(
                 (fparams_ref[14], probe_which)
                 if probe_which and probe_which != "shade" else None
             ),
-            groups=groups, glist_ref=glist_ref,
-            row_fns=(
-                [row_g(g, dx, dy, dz) for g in range(groups)]
-                if groups else None
-            ),
-            vprune=(tsub_ref, vflag_ref) if vprune_on else None,
         )
         best_t, hit = o_s[0], o_s[1] != 0
         shaded = _shade_segment(
@@ -480,12 +441,6 @@ def _wavefront_kernel(
                 srow, sinit,
                 bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
                 hdr=hdr,
-                groups=groups, glist_ref=glist_ref,
-                row_fns=(
-                    [row_g(g, wlx, wly, wlz) for g in range(groups)]
-                    if groups else None
-                ),
-                vprune=(tsub_ref, vflag_ref) if vprune_on else None,
             )
             lit = nmask & (s_o[1] == 0)
             res_r = res_r + jnp.where(lit, bk_r, jnp.float32(0.0))
@@ -560,7 +515,7 @@ def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
     collect_stats=False, sort_mode=DEFAULT_SORT_MODE, tile_w=None,
-    hdr_lanes=None, probe_double=None, group_split=None, vmem_prune=None,
+    hdr_lanes=None, probe_double=None,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
@@ -588,7 +543,6 @@ def path_trace_wavefront(
         interpret=interpret, rotation=rotation,
         collect_stats=collect_stats, sort_mode=sort_mode, tile_w=tile_w,
         hdr_lanes=hdr_lanes, probe_double=probe_double,
-        group_split=group_split, vmem_prune=vmem_prune,
     )
     if collect_stats:
         (r, g, b), stats = out
@@ -609,7 +563,7 @@ def path_trace_wavefront(
 def trace_pixels_wavefront(
     tri_data, camera_pos, light, frame_idx, px, py, cfg,
     rotation=None, interpret=False, sort_mode=DEFAULT_SORT_MODE,
-    tile_w=None, hdr_lanes=None, group_split=None, vmem_prune=None,
+    tile_w=None, hdr_lanes=None,
 ):
     """Wavefront twin of ops.pathtrace.trace_pixels: trace EXPLICIT global
     pixel coordinate arrays through the HBM-streamed wavefront tracer.
@@ -628,7 +582,6 @@ def trace_pixels_wavefront(
         jnp.asarray(py, jnp.int32).reshape(-1),
         interpret=interpret, rotation=rotation,
         sort_mode=sort_mode, tile_w=tile_w, hdr_lanes=hdr_lanes,
-        group_split=group_split, vmem_prune=vmem_prune,
     )
     return jnp.stack(
         [r.reshape(shape), g.reshape(shape), b.reshape(shape)], axis=-1
@@ -639,7 +592,7 @@ def _wavefront_core(
     tri_data, camera_pos, light, frame_idx, cfg, px_flat, py_flat,
     *, interpret=False, rotation=None, collect_stats=False,
     sort_mode=DEFAULT_SORT_MODE, tile_w=None, hdr_lanes=None,
-    probe_double=None, group_split=None, vmem_prune=None,
+    probe_double=None,
 ):
     """Shared wavefront trace over a flat list of global pixel coords.
 
@@ -652,22 +605,6 @@ def _wavefront_core(
     kernel -- see _ordered_stream_loop). Output stays bit-identical."""
     if hdr_lanes is None:
         hdr_lanes = DEFAULT_HDR_LANES
-    if group_split is None:
-        group_split = DEFAULT_GROUP_SPLIT
-    if group_split:
-        assert not hdr_lanes, "group_split supersedes hdr_lanes"
-        assert not collect_stats and probe_double is None, (
-            "stats/probes target the row-major walk"
-        )
-    if vmem_prune is None:
-        vmem_prune = DEFAULT_VMEM_PRUNE
-    if vmem_prune:
-        assert not (hdr_lanes or group_split), (
-            "vmem_prune composes with the row-major walk"
-        )
-        assert not collect_stats and probe_double is None, (
-            "stats/probes target the unpruned walk"
-        )
     pair_table = tri_data.pair_table
     cluster_aabbs = tri_data.cluster_aabbs
     super_aabbs = tri_data.super_aabbs
@@ -695,28 +632,8 @@ def _wavefront_core(
     )
     sub_aabbs = getattr(tri_data, "sub_aabbs", None)
     table = assemble_stream_table(
-        table, sub_aabbs, num_clusters, csize,
-        hdr_lanes=hdr_lanes or group_split,
+        table, sub_aabbs, num_clusters, csize, hdr_lanes=hdr_lanes,
     )
-    tsub_flat = None
-    if vmem_prune:
-        nsub = nsub_for(csize)
-        tsub_bytes = num_clusters * HDR_ROWS * 128 * 4
-        if sub_aabbs is None or tsub_bytes > VMEM_PRUNE_MAX_BYTES:
-            # no sub-boxes to prune with / table over the VMEM budget:
-            # fall back to the unpruned walk
-            vmem_prune = False
-        else:
-            t6 = jnp.transpose(
-                jnp.asarray(sub_aabbs, jnp.float32).reshape(
-                    num_clusters, nsub, 6
-                ),
-                (0, 2, 1),
-            )
-            tsub = jnp.zeros(
-                (num_clusters, HDR_ROWS, 128), jnp.float32
-            ).at[:, :6, :nsub].set(t6)
-            tsub_flat = tsub.reshape(num_clusters * HDR_ROWS, 128)
     if super_aabbs is None:
         super_aabbs = jnp.zeros((1, 6), jnp.float32)
     caabb_flat = cluster_aabbs.reshape(-1)
@@ -783,12 +700,11 @@ def _wavefront_core(
     plane_spec = pl.BlockSpec((TILE_H, tw), lambda i: (i, 0))
 
     def run_segment(seg, planes, stats=False):
-        groups = tw // 128 if group_split else None
         kernel = functools.partial(
             _wavefront_kernel, cfg=cfg,
             num_clusters=num_clusters, csize=csize,
             num_supers=num_supers, ssize=ssize, collect_stats=stats,
-            hdr_lanes=hdr_lanes, groups=groups, vprune_on=vmem_prune,
+            hdr_lanes=hdr_lanes,
             # kernel-side probes only; sort/raygen/descramble double their
             # XLA phases outside the kernel
             probe_which=(
@@ -806,10 +722,9 @@ def _wavefront_core(
             ]
         )
         out_specs = [plane_spec] * 14
-        # transposed-header modes (hdr_lanes / group_split) split each
-        # cluster DMA: rows -> SMEM, header block -> VMEM (vector-readable)
-        transposed = hdr_lanes or group_split
-        smem_rows = csize if transposed else csize + nsub_for(csize)
+        # the transposed-header mode (hdr_lanes) splits each cluster
+        # DMA: rows -> SMEM, header block -> VMEM (vector-readable)
+        smem_rows = csize if hdr_lanes else csize + nsub_for(csize)
         scratch = [
             pltpu.SMEM((num_clusters,), jnp.int32),
             pltpu.SMEM((num_clusters,), jnp.int32),
@@ -819,21 +734,13 @@ def _wavefront_core(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
-        if transposed:
+        if hdr_lanes:
             scratch += [
                 pltpu.VMEM((HDR_ROWS, 128), f32),
                 pltpu.VMEM((HDR_ROWS, 128), f32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ]
-        if group_split:
-            # per-group compacted sub-block id lists (run_groups)
-            scratch.append(
-                pltpu.SMEM(((tw // 128) * nsub_for(csize),), jnp.int32)
-            )
-        if vmem_prune:
-            # exact header verdicts under the conservative pre-gate
-            scratch.append(pltpu.SMEM((nsub_for(csize),), jnp.int32))
         if stats:
             out_shape.append(
                 jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32)
@@ -849,10 +756,6 @@ def _wavefront_core(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         args = [fparams, iparams, table, caabb_flat, saabb_flat]
-        if vmem_prune:
-            # the whole transposed sub-block box table rides in VMEM
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            args.append(tsub_flat)
         outs = pl.pallas_call(
             kernel,
             grid=grid,

@@ -523,120 +523,6 @@ def test_wavefront_hdr_lanes_bit_parity():
         np.testing.assert_array_equal(base, lanes)
 
 
-def test_wavefront_group_split_bit_parity():
-    """The group-split walk (per-128-ray-packet interval header tests,
-    per-column-group row execution, group-split state with a stale
-    whole-tile best for visit/issue pruning) must be bit-identical to the
-    row-major whole-tile walk: every packet's interval test is a
-    conservative superset of its lanes' exact tests, spare rows never
-    commit past the strict <, and the stale best only prunes LESS.
-    Covered on a closed scene with a supercluster level (super-major
-    composition), an open soup (mixed-sign direction intervals,
-    miss-heavy), NEE (second walk with a capped initial best), and a
-    narrow tile (groups=1)."""
-    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
-        path_trace_wavefront,
-    )
-    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
-        procedural,
-    )
-    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
-        Scene,
-        precompute_triangle_data,
-    )
-
-    closed = precompute_triangle_data(
-        Scene.from_arrays(*procedural.subdivided_cornell(6))
-    )
-    # 10-subdiv Cornell: 3200 tris -> enough clusters for a super level
-    supered = precompute_triangle_data(
-        Scene.from_arrays(*procedural.subdivided_cornell(10))
-    )
-    soup = precompute_triangle_data(
-        Scene.from_arrays(*procedural.random_soup(600, seed=3, extent=2.0))
-    )
-    cam, light = Camera.default(), Light.default()
-    cases = [
-        (closed, dataclasses.replace(CFG, width=48, height=32, max_bounces=6),
-         None),
-        (supered, dataclasses.replace(CFG, width=48, height=32, max_bounces=4),
-         None),
-        (soup, dataclasses.replace(CFG, width=48, height=32, max_bounces=4),
-         None),
-        (closed,
-         dataclasses.replace(CFG, width=48, height=32, max_bounces=4,
-                             nee=True),
-         None),
-        (closed, dataclasses.replace(CFG, width=48, height=32, max_bounces=4),
-         128),
-    ]
-    for td, cfg, tile_w in cases:
-        assert td.cluster_aabbs is not None
-        base = np.asarray(
-            path_trace_wavefront(
-                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
-                group_split=False, tile_w=tile_w,
-            )
-        )
-        split = np.asarray(
-            path_trace_wavefront(
-                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
-                group_split=True, tile_w=tile_w,
-            )
-        )
-        np.testing.assert_array_equal(base, split)
-
-
-def test_wavefront_vmem_prune_bit_parity():
-    """The resident-VMEM header pre-prune (vmem_prune: per-packet
-    interval+distance pre-tests gating the exact whole-tile header tests)
-    must be bit-identical to the unpruned walk: both pre-tests bound every
-    live lane of a packet, so each exact pass implies a pre-pass and the
-    gate only skips tests that could not have passed. Covered on a closed
-    super-level scene, an open soup, and with NEE shadow walks."""
-    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas.wavefront import (
-        path_trace_wavefront,
-    )
-    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
-        procedural,
-    )
-    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
-        Scene,
-        precompute_triangle_data,
-    )
-
-    supered = precompute_triangle_data(
-        Scene.from_arrays(*procedural.subdivided_cornell(10))
-    )
-    soup = precompute_triangle_data(
-        Scene.from_arrays(*procedural.random_soup(600, seed=3, extent=2.0))
-    )
-    cam, light = Camera.default(), Light.default()
-    cases = [
-        (supered, dataclasses.replace(CFG, width=48, height=32,
-                                      max_bounces=4)),
-        (soup, dataclasses.replace(CFG, width=48, height=32, max_bounces=4)),
-        (supered,
-         dataclasses.replace(CFG, width=48, height=32, max_bounces=3,
-                             nee=True)),
-    ]
-    for td, cfg in cases:
-        assert td.sub_aabbs is not None
-        base = np.asarray(
-            path_trace_wavefront(
-                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
-                vmem_prune=False,
-            )
-        )
-        pruned = np.asarray(
-            path_trace_wavefront(
-                td, cam.position, light, jnp.int32(2), cfg, interpret=True,
-                vmem_prune=True,
-            )
-        )
-        np.testing.assert_array_equal(base, pruned)
-
-
 def test_geometry_hdr_lanes_bit_parity():
     """The streamed geometry kernel's lane-parallel header walk must be
     bit-identical to the row-major walk across every G-buffer plane
