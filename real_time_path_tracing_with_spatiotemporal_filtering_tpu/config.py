@@ -153,6 +153,35 @@ class RenderConfig:
     variance_boost_frames: int = 4
     variance_eps: float = 1e-8       # stddev-denominator guard
 
+    # --- multi-resolution indirect illumination (non-parity extension) ---
+    # The reference traces every bounce segment at full resolution
+    # (raytrace.comp.glsl:204: one thread loops all 32 segments). On large
+    # scenes the per-segment wavefront cost scales with the ray count, and
+    # indirect lighting is low-frequency -- the classic real-time split is
+    # full-resolution direct + subsampled indirect. indirect_split = k >= 1
+    # traces bounce segments [0, k) for EVERY pixel (with
+    # truncate_radiance semantics, see below) and the remaining segments
+    # [k, max_bounces) only on a 1/indirect_stride^2 coarse pixel grid.
+    # The coarse tail residual (exact at coarse pixels by PCG-prefix
+    # identity: the first k segments of the coarse full-length trace are
+    # bit-identical to the full-res truncated trace at the same pixels) is
+    # demodulated by the truncation-point path throughput, upsampled with
+    # joint-bilateral G-buffer guidance (normal + depth edge stops), and
+    # re-modulated. Biased (indirect is low-pass filtered at the stride
+    # scale) but consistent with the SVGF filter downstream; measured
+    # quality impact in benchmarks/quality.py. 0 = off (reference parity).
+    indirect_split: int = 0
+    indirect_stride: int = 2         # coarse grid stride (2 -> 1/4 rays)
+    indirect_sigma_z: float = 0.02   # depth edge stop of the upsampler
+    indirect_normal_pow: int = 8     # normal edge stop exponent (2^n squarings)
+    # Alive-at-max_bounces paths return their banked radiance instead of
+    # the reference's loop fall-through (bare albedo product,
+    # raytrace.comp.glsl:270). Required by the multi-res truncated trace
+    # (the fall-through would smear the full-res albedo product into the
+    # low-res residual); also usable standalone. No-op when nee=True
+    # (NEE already accumulates and drops the quirk).
+    truncate_radiance: bool = False
+
     # --- interaction (main.cpp:68, 1119-1168) ---
     move_speed: float = 0.1
     light_x_wrap_lo: float = -20.0
@@ -214,6 +243,18 @@ class RenderConfig:
             )
         if self.gradient_stratum < 1:
             raise ValueError("gradient_stratum must be >= 1")
+        if self.indirect_split:
+            if not (1 <= self.indirect_split < self.max_bounces):
+                raise ValueError(
+                    "indirect_split must be in [1, max_bounces) -- the "
+                    "coarse tail must have at least one segment"
+                )
+            if self.indirect_stride < 1:
+                raise ValueError("indirect_stride must be >= 1")
+            if self.indirect_sigma_z <= 0.0:
+                raise ValueError("indirect_sigma_z must be > 0")
+            if self.indirect_normal_pow < 0:
+                raise ValueError("indirect_normal_pow must be >= 0")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto, xla or pallas")
 

@@ -1,0 +1,251 @@
+"""Multi-resolution indirect illumination (config.indirect_split).
+
+The reference traces every bounce segment of every pixel at full
+resolution (raytrace.comp.glsl:204: one thread loops all 32 segments).
+On HBM-streamed scenes the wavefront tracer's per-segment cost scales
+with the live ray count, so the classic real-time decomposition applies:
+direct lighting is high-frequency (trace it per pixel), indirect
+lighting is low-frequency (trace it on a subsampled grid and upsample
+with G-buffer guidance).
+
+The split is exact at coarse pixels by PCG-prefix identity: seeds and
+draws are pure functions of the GLOBAL pixel coordinate and draw order
+(ops/rng.py), so the first ``indirect_split`` segments of the coarse
+full-length trace are bit-identical to the full-resolution truncated
+trace at the same pixels. The residual
+
+    resid = full_length(coarse px) - truncated(coarse px)
+
+is therefore exactly the radiance carried by segments >= split -- each
+term scaled by the path throughput at the truncation point. Dividing by
+that throughput (emitted by the truncated trace) removes the full-res
+albedo texture from the low-res signal before upsampling; re-modulating
+by the full-res throughput restores it, so albedo edges stay crisp (the
+same argument as SVGF's albedo demodulation, Schied et al. 2017 sec. 3).
+
+The upsampler is a joint-bilateral 2x2 tent: bilinear weights times a
+depth edge stop exp(-|dz|/sigma) and a normal edge stop max(0, n.n')^p,
+guided by the (already computed) G-buffer planes. Everything is static
+shifts and repeats -- no gathers, which run near-scalar on TPU.
+
+Biased (indirect is low-passed at the stride scale) and config-gated off
+for reference parity; quality impact measured in benchmarks/quality.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+    pathtrace,
+)
+
+# Throughput demodulation guard. Channels with |thru| below this carry a
+# residual of at most thru * L_max ~ 1e-5 (the light's HDR intensity
+# bounds the tail radiance), so the clamped division stays harmless.
+_THRU_EPS = 1e-6
+
+
+def coarse_grid(height: int, width: int, stride: int):
+    """Global pixel coordinates of the coarse trace grid: every
+    ``stride``-th pixel starting at (0, 0). Returns (py, px), each
+    (ceil(H/s), ceil(W/s)) int32 -- exactly the pixels ``img[::s, ::s]``
+    selects, which is what makes the residual slice-exact."""
+    hc = -(-height // stride)
+    wc = -(-width // stride)
+    py = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0) * stride
+    px = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1) * stride
+    return py, px
+
+
+def _shift_next(c, axis):
+    """c[i+1] along ``axis`` with edge clamp (static slices only)."""
+    nxt = jax.lax.slice_in_dim(c, 1, c.shape[axis], axis=axis)
+    last = jax.lax.slice_in_dim(c, c.shape[axis] - 1, c.shape[axis], axis=axis)
+    return jnp.concatenate([nxt, last], axis=axis)
+
+
+def _expand(c, stride, out_h, out_w):
+    """Nearest (hold) expansion of a coarse plane: out[y, x] =
+    c[y // s, x // s]. jnp.repeat of a static count lowers to broadcast +
+    reshape -- no gather."""
+    if stride > 1:
+        c = jnp.repeat(c, stride, axis=0)
+        c = jnp.repeat(c, stride, axis=1)
+    return c[:out_h, :out_w]
+
+
+def _int_pow(x, p: int):
+    """x**p by repeated squaring (static integer exponent)."""
+    if p == 0:
+        return jnp.ones_like(x)
+    acc = None
+    base = x
+    while p:
+        if p & 1:
+            acc = base if acc is None else acc * base
+        p >>= 1
+        if p:
+            base = base * base
+    return acc
+
+
+def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg):
+    """Joint-bilateral 2x2 tent upsample of coarse planes to full res.
+
+    ``coarse_planes``: tuple of (Hc, Wc) planes (the demodulated residual
+    channels). ``guide_coarse`` / ``guide_full``: (nx, ny, nz, depth)
+    plane tuples at coarse / full resolution. Returns the upsampled
+    full-res plane tuple. At exact coarse pixels the nearest neighbor's
+    weight is 1 and the others 0, so the coarse values pass through
+    unchanged."""
+    s = cfg.indirect_stride
+    h, w = guide_full[0].shape
+    fy = (
+        (jnp.arange(h, dtype=jnp.int32) % s).astype(jnp.float32) / jnp.float32(s)
+    )[:, None]
+    fx = (
+        (jnp.arange(w, dtype=jnp.int32) % s).astype(jnp.float32) / jnp.float32(s)
+    )[None, :]
+    bilin = (
+        (1.0 - fy) * (1.0 - fx),
+        (1.0 - fy) * fx,
+        fy * (1.0 - fx),
+        fy * fx,
+    )
+
+    def four_neighbors(c):
+        c01 = _shift_next(c, 1)
+        c10 = _shift_next(c, 0)
+        c11 = _shift_next(c10, 1)
+        return tuple(_expand(v, s, h, w) for v in (c, c01, c10, c11))
+
+    nxf, nyf, nzf, zf = guide_full
+    guide_n = [four_neighbors(g) for g in guide_coarse]  # 4 x (4 planes)
+    inv_sz = jnp.float32(1.0 / cfg.indirect_sigma_z)
+
+    weights = []
+    for k in range(4):
+        ndot = (
+            nxf * guide_n[0][k] + nyf * guide_n[1][k] + nzf * guide_n[2][k]
+        )
+        w_n = _int_pow(jnp.maximum(ndot, 0.0), cfg.indirect_normal_pow)
+        w_z = jnp.exp(-jnp.abs(zf - guide_n[3][k]) * inv_sz)
+        weights.append(bilin[k] * w_n * w_z)
+    den = weights[0] + weights[1] + weights[2] + weights[3]
+    ok = den > jnp.float32(1e-8)
+    inv_den = jnp.float32(1.0) / jnp.maximum(den, jnp.float32(1e-20))
+
+    out = []
+    for c in coarse_planes:
+        vals = four_neighbors(c)
+        num = (
+            weights[0] * vals[0]
+            + weights[1] * vals[1]
+            + weights[2] * vals[2]
+            + weights[3] * vals[3]
+        )
+        # all edge stops rejected (depth/normal discontinuity on every
+        # neighbor): fall back to the plain bilinear tent
+        num_b = (
+            bilin[0] * vals[0]
+            + bilin[1] * vals[1]
+            + bilin[2] * vals[2]
+            + bilin[3] * vals[3]
+        )
+        out.append(jnp.where(ok, num * inv_den, num_b))
+    return tuple(out)
+
+
+def combine_planes(trunc_pl, thru_pl, full_c_pl, guide_full, cfg):
+    """Assemble the multi-res estimate from per-channel planes.
+
+    trunc_pl / thru_pl: full-res (H, W) plane triples from the truncated
+    trace; full_c_pl: coarse (Hc, Wc) plane triple of the full-length
+    trace. Returns the (r, g, b) noisy planes."""
+    s = cfg.indirect_stride
+    thru_c = tuple(t[::s, ::s] for t in thru_pl)
+    resid = tuple(
+        (fc - t[::s, ::s]) / jnp.maximum(tc, jnp.float32(_THRU_EPS))
+        for fc, t, tc in zip(full_c_pl, trunc_pl, thru_c)
+    )
+    guide_coarse = tuple(g[::s, ::s] for g in guide_full)
+    up = bilateral_upsample(resid, guide_coarse, guide_full, cfg)
+    return tuple(t + u * th for t, u, th in zip(trunc_pl, up, thru_pl))
+
+
+def _split_cfgs(cfg):
+    split_cfg = dataclasses.replace(
+        cfg,
+        max_bounces=cfg.indirect_split,
+        truncate_radiance=True,
+        indirect_split=0,
+    )
+    tail_cfg = dataclasses.replace(cfg, indirect_split=0)
+    return split_cfg, tail_cfg
+
+
+def multires_noisy_xla(
+    tri_data, camera_pos, light, frame_idx, cfg, normal_img, depth,
+    rotation=None,
+):
+    """XLA-path multi-res noisy estimate: full-res truncated trace +
+    coarse full-length trace, combined per combine_planes. ``normal_img``
+    (H, W, 3) and ``depth`` (H, W) are the G-buffer guide planes.
+    Returns (H, W, 3) radiance."""
+    split_cfg, tail_cfg = _split_cfgs(cfg)
+    trunc, thru = pathtrace.path_trace_pass(
+        tri_data, camera_pos, light, frame_idx, split_cfg,
+        rotation=rotation, emit_throughput=True,
+    )
+    py_c, px_c = coarse_grid(cfg.height, cfg.width, cfg.indirect_stride)
+    full_c = pathtrace.trace_pixels(
+        tri_data, camera_pos, light, frame_idx, px_c, py_c, tail_cfg,
+        rotation=rotation,
+    )
+    guide_full = (
+        normal_img[..., 0], normal_img[..., 1], normal_img[..., 2], depth
+    )
+    noisy = combine_planes(
+        tuple(trunc[..., i] for i in range(3)),
+        tuple(thru[..., i] for i in range(3)),
+        tuple(full_c[..., i] for i in range(3)),
+        guide_full,
+        cfg,
+    )
+    return jnp.stack(noisy, axis=-1)
+
+
+def multires_noisy_wavefront(
+    tri_data, camera_pos, light, frame_idx, cfg, normal_planes, depth,
+    rotation=None, interpret=False,
+):
+    """Wavefront-path multi-res noisy estimate (HBM-streamed scenes).
+    ``normal_planes``: (nx, ny, nz) planes from the fused geometry kernel;
+    ``depth``: (H, W). Returns planar (r, g, b)."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+        wavefront as wf_mod,
+    )
+
+    split_cfg, tail_cfg = _split_cfgs(cfg)
+    trunc_pl, thru_pl = wf_mod.path_trace_wavefront(
+        tri_data, camera_pos, light, frame_idx, split_cfg,
+        interpret=interpret, planar=True, rotation=rotation,
+        emit_throughput=True,
+    )
+    py_c, px_c = coarse_grid(cfg.height, cfg.width, cfg.indirect_stride)
+    full_c = wf_mod.trace_pixels_wavefront(
+        tri_data, camera_pos, light, frame_idx, px_c, py_c, tail_cfg,
+        rotation=rotation, interpret=interpret,
+    )
+    guide_full = normal_planes + (depth,)
+    return combine_planes(
+        trunc_pl,
+        thru_pl,
+        tuple(full_c[..., i] for i in range(3)),
+        guide_full,
+        cfg,
+    )

@@ -2079,6 +2079,12 @@ def path_trace_pass_pallas(
     independently-structured implementation behind the
     wavefront==megakernel bit-parity tests (tests/test_pallas.py) and
     benchmarks/scaling.py."""
+    if cfg.truncate_radiance and not cfg.nee:
+        raise ValueError(
+            "truncate_radiance is not plumbed through the megakernel's "
+            "preemptive fall-through (_pack_stage); use the wavefront "
+            "tracer or the XLA formulation (ops/multires.py routes there)"
+        )
     h = cfg.height if rows is None else rows
     w = cfg.width
     pair_table = getattr(tri_data, "pair_table", None)

@@ -515,7 +515,7 @@ def path_trace_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg,
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
     collect_stats=False, sort_mode=DEFAULT_SORT_MODE, tile_w=None,
-    hdr_lanes=None, probe_double=None,
+    hdr_lanes=None, probe_double=None, emit_throughput=False,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
@@ -543,18 +543,23 @@ def path_trace_wavefront(
         interpret=interpret, rotation=rotation,
         collect_stats=collect_stats, sort_mode=sort_mode, tile_w=tile_w,
         hdr_lanes=hdr_lanes, probe_double=probe_double,
+        emit_throughput=emit_throughput,
     )
     if collect_stats:
-        (r, g, b), stats = out
+        planes_out, stats = out
     else:
-        r, g, b = out
-    r_img = r.reshape(h, w)
-    g_img = g.reshape(h, w)
-    b_img = b.reshape(h, w)
-    if planar:
-        img = (r_img, g_img, b_img)
-    else:
-        img = jnp.stack([r_img, g_img, b_img], axis=-1)
+        planes_out = out
+
+    def as_img(r, g, b):
+        if planar:
+            return (r.reshape(h, w), g.reshape(h, w), b.reshape(h, w))
+        return jnp.stack(
+            [r.reshape(h, w), g.reshape(h, w), b.reshape(h, w)], axis=-1
+        )
+
+    img = as_img(*planes_out[:3])
+    if emit_throughput:
+        img = (img, as_img(*planes_out[3:6]))
     if collect_stats:
         return img, stats
     return img
@@ -592,7 +597,7 @@ def _wavefront_core(
     tri_data, camera_pos, light, frame_idx, cfg, px_flat, py_flat,
     *, interpret=False, rotation=None, collect_stats=False,
     sort_mode=DEFAULT_SORT_MODE, tile_w=None, hdr_lanes=None,
-    probe_double=None,
+    probe_double=None, emit_throughput=False,
 ):
     """Shared wavefront trace over a flat list of global pixel coords.
 
@@ -790,6 +795,10 @@ def _wavefront_core(
     acc_r = jnp.zeros(n, f32)
     acc_g = jnp.zeros(n, f32)
     acc_b = jnp.zeros(n, f32)
+    if emit_throughput:
+        acc_tr = jnp.zeros(n, f32)
+        acc_tg = jnp.zeros(n, f32)
+        acc_tb = jnp.zeros(n, f32)
 
     for batch in range(cfg.sample_batches):
         seed = (
@@ -889,38 +898,54 @@ def _wavefront_core(
                 _, planes, pix_plane = jax.lax.while_loop(
                     cond, body, (jnp.int32(0), planes, pix_plane)
                 )
-            if cfg.nee:
+            alive_f = planes[13].reshape(n) != 0
+            if cfg.nee or cfg.truncate_radiance:
                 # with NEE the result accumulates along the path; the
-                # fall-through quirk is dropped (see ops/pathtrace.py)
+                # fall-through quirk is dropped (see ops/pathtrace.py).
+                # truncate_radiance drops it too: survivors return only
+                # their banked radiance (the multi-res truncated trace,
+                # config.py).
                 res_r = planes[9].reshape(n)
                 res_g = planes[10].reshape(n)
                 res_b = planes[11].reshape(n)
             else:
                 # fall-through: surviving paths keep bare throughput
                 # (raytrace.comp.glsl:270)
-                alive_f = planes[13].reshape(n) != 0
                 res_r = jnp.where(alive_f, planes[6].reshape(n), planes[9].reshape(n))
                 res_g = jnp.where(alive_f, planes[7].reshape(n), planes[10].reshape(n))
                 res_b = jnp.where(alive_f, planes[8].reshape(n), planes[11].reshape(n))
-            # descramble: one 4-operand sort by pixel id (unique keys)
-            pk, r_p, g_p, b_p = jax.lax.sort(
-                (pix_plane.reshape(n), res_r, res_g, res_b), num_keys=1
-            )
+            sort_ops = (pix_plane.reshape(n), res_r, res_g, res_b)
+            if emit_throughput:
+                # truncation-point path throughput (multi-res residual
+                # demodulator): rides the descramble sort as three extra
+                # operands instead of paying a second sort.
+                sort_ops = sort_ops + tuple(
+                    jnp.where(alive_f, planes[6 + i].reshape(n), jnp.float32(0.0))
+                    for i in range(3)
+                )
+            # descramble: one multi-operand sort by pixel id (unique keys)
+            sorted_ops = jax.lax.sort(sort_ops, num_keys=1)
             if probe_double == "descramble":
                 # doubling probe: re-sort the sorted planes (stable and
                 # data-oblivious -- identity result, representative cost,
                 # not CSE-able; same device as the 'sort' probe)
-                pk, r_p, g_p, b_p = jax.lax.sort(
-                    (pk, r_p, g_p, b_p), num_keys=1
-                )
-            acc_r = acc_r + r_p
-            acc_g = acc_g + g_p
-            acc_b = acc_b + b_p
+                sorted_ops = jax.lax.sort(sorted_ops, num_keys=1)
+            acc_r = acc_r + sorted_ops[1]
+            acc_g = acc_g + sorted_ops[2]
+            acc_b = acc_b + sorted_ops[3]
+            if emit_throughput:
+                acc_tr = acc_tr + sorted_ops[4]
+                acc_tg = acc_tg + sorted_ops[5]
+                acc_tb = acc_tb + sorted_ops[6]
             if raygen_sink is not None:
                 acc_r = acc_r + raygen_sink  # runtime zeros (see probe)
 
     norm = jnp.float32(1.0 / (cfg.spp * cfg.sample_batches))
     out = tuple((acc * norm)[:n_pix] for acc in (acc_r, acc_g, acc_b))
+    if emit_throughput:
+        out = out + tuple(
+            (acc * norm)[:n_pix] for acc in (acc_tr, acc_tg, acc_tb)
+        )
     if collect_stats:
         return out, stats_out
     return out

@@ -34,13 +34,17 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
 )
 
 
-def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, cfg):
+def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, cfg,
+                emit_throughput=False):
     """Trace one path per lane to termination.
 
     ``origins``/``dirs``: (..., 3); ``rng_state``: (...,) uint32 (already
     advanced past the AA jitter draws). ``light_color_hdr`` is the HDR light
     color (base * cfg.light_intensity, raytrace.comp.glsl:281). Returns the
-    per-lane radiance (..., 3).
+    per-lane radiance (..., 3); with ``emit_throughput`` also the
+    truncation-point path throughput (accum for lanes still alive after
+    max_bounces, zero for terminated lanes) -- the multi-res indirect
+    residual demodulator (ops/multires.py).
     """
     accum = jnp.ones(origins.shape, jnp.float32)
     result = jnp.zeros(origins.shape, jnp.float32)
@@ -196,13 +200,19 @@ def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, 
     # Loop fall-through: surviving paths return the bare albedo product
     # (raytrace.comp.glsl:270). With NEE the result accumulates along the
     # path instead, so survivors keep their banked direct light and the
-    # quirk is dropped.
-    if cfg.nee:
-        return result
-    return jnp.where(alive[..., None], accum, result)
+    # quirk is dropped; truncate_radiance drops it too (survivors return
+    # only what they banked -- see config.py).
+    if cfg.nee or cfg.truncate_radiance:
+        out = result
+    else:
+        out = jnp.where(alive[..., None], accum, result)
+    if emit_throughput:
+        return out, jnp.where(alive[..., None], accum, jnp.zeros_like(accum))
+    return out
 
 
-def trace_pixels(tri_data, camera_pos, light, frame_idx, px, py, cfg, rotation=None):
+def trace_pixels(tri_data, camera_pos, light, frame_idx, px, py, cfg, rotation=None,
+                 emit_throughput=False):
     """Per-pixel seeds, AA jitter, spp loop, average
     (raytrace.comp.glsl:273-344) for EXPLICIT pixel-coordinate arrays.
 
@@ -212,15 +222,19 @@ def trace_pixels(tri_data, camera_pos, light, frame_idx, px, py, cfg, rotation=N
     of pixels is bitwise identical to the same pixels of a full-frame
     trace -- the property both the sharded row slabs and the A-SVGF
     path-space gradient re-trace (ops/pathgrad.py) rely on.
+
+    ``emit_throughput``: also return the spp-averaged truncation-point
+    throughput (see trace_paths).
     """
     light_color_hdr = light.color * jnp.float32(cfg.light_intensity)
     shape = px.shape
+    zero_img = jnp.zeros(shape + (3,), jnp.float32)
 
     def one_batch(batch_idx, acc):
         state = rng_ops.seed_per_pixel(px, py, frame_idx, batch_idx)
 
         def one_sample(_, inner):
-            acc_s, state_s = inner
+            acc_s, thru_s, state_s = inner
             state_s, gx, gy = rng_ops.random_gaussian(state_s)
             dirs = cam_ops.pixel_rays(
                 px,
@@ -233,30 +247,40 @@ def trace_pixels(tri_data, camera_pos, light, frame_idx, px, py, cfg, rotation=N
                 rotation=rotation,
             )
             origins = jnp.broadcast_to(camera_pos, shape + (3,))
-            color = trace_paths(
+            traced = trace_paths(
                 tri_data, light.position, light_color_hdr, origins, dirs,
-                state_s, cfg,
+                state_s, cfg, emit_throughput=emit_throughput,
             )
+            if emit_throughput:
+                color, thru = traced
+                thru_s = thru_s + thru
+            else:
+                color = traced
             # GLSL passes rngState by value into the path loop
             # (raytrace.comp.glsl:200): the next sample continues from the
             # post-jitter state, exactly as reproduced here.
-            return acc_s + color, state_s
+            return acc_s + color, thru_s, state_s
 
-        summed, _ = jax.lax.fori_loop(
-            0, cfg.spp, one_sample, (jnp.zeros(shape + (3,), jnp.float32), state)
+        summed, thru_sum, _ = jax.lax.fori_loop(
+            0, cfg.spp, one_sample, (zero_img, zero_img, state)
         )
-        return acc + summed / jnp.float32(cfg.spp)
+        spp_f = jnp.float32(cfg.spp)
+        return acc[0] + summed / spp_f, acc[1] + thru_sum / spp_f
 
-    total = jax.lax.fori_loop(
-        0, cfg.sample_batches, one_batch, jnp.zeros(shape + (3,), jnp.float32)
+    total, thru_total = jax.lax.fori_loop(
+        0, cfg.sample_batches, one_batch, (zero_img, zero_img)
     )
-    return total / jnp.float32(cfg.sample_batches)
+    batches_f = jnp.float32(cfg.sample_batches)
+    if emit_throughput:
+        return total / batches_f, thru_total / batches_f
+    return total / batches_f
 
 
-def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, rows=None, rotation=None):
+def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, rows=None, rotation=None, emit_throughput=False):
     """Full path-trace pass over the pixel grid: :func:`trace_pixels` at
     every (row_offset.., 0..W) coordinate. Returns the noisy radiance
-    (H, W, 3).
+    (H, W, 3) (plus the (H, W, 3) truncation-point throughput when
+    ``emit_throughput``).
 
     ``row_offset``/``rows``: render a row slab for sharded execution; seeds
     and rays are functions of GLOBAL pixel coordinates, so a sharded render
@@ -267,5 +291,6 @@ def path_trace_pass(tri_data, camera_pos, light, frame_idx, cfg, row_offset=0, r
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row_offset
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     return trace_pixels(
-        tri_data, camera_pos, light, frame_idx, px, py, cfg, rotation=rotation
+        tri_data, camera_pos, light, frame_idx, px, py, cfg, rotation=rotation,
+        emit_throughput=emit_throughput,
     )

@@ -378,6 +378,12 @@ def make_sharded_frame(
             f"({cfg.height // n} % {cfg.gradient_stratum} != 0) so stratum "
             "cells do not straddle shards"
         )
+    if cfg.indirect_split:
+        raise ValueError(
+            "indirect_split is not yet supported on the sharded frame "
+            "(the coarse-residual upsample needs a one-coarse-row halo "
+            "exchange); render multi-res frames single-chip"
+        )
 
     hist_spec = _history_spec(
         axis, cfg.variance_guided, cfg.accumulation_ramp, cfg.path_gradient

@@ -25,6 +25,7 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
     camera as cam_ops,
     gbuffer,
     gradient,
+    multires,
     pathgrad,
     pathtrace,
 )
@@ -163,10 +164,19 @@ def render_frame_impl(
         )
 
     # -- pass 3: path trace (raytrace.comp.glsl) --
-    noisy = pathtrace.path_trace_pass(
-        tri_data, camera.position, light, frame_idx, cfg,
-        rotation=camera.rotation,
-    )
+    normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
+    if cfg.indirect_split:
+        # multi-res indirect (config.py): full-res truncated trace +
+        # coarse full-length trace, G-buffer-guided upsample
+        noisy = multires.multires_noisy_xla(
+            tri_data, camera.position, light, frame_idx, cfg,
+            normal_img, gbuf.depth, rotation=camera.rotation,
+        )
+    else:
+        noisy = pathtrace.path_trace_pass(
+            tri_data, camera.position, light, frame_idx, cfg,
+            rotation=camera.rotation,
+        )
     noisy_lum = atrous.luminance(noisy) if cfg.path_gradient else None
 
     # -- pass 4: a-trous filter + temporal EMA (temporalFiltering.comp.glsl) --
@@ -177,7 +187,6 @@ def render_frame_impl(
             atrous.albedo_image(tri_data, gbuf.visibility), cfg
         )
         noisy = atrous.demodulate(noisy, demod_s)
-    normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
     age = None
     if cfg.accumulation_ramp:
         # SVGF accumulation ramp (config.py): per-pixel history length,
@@ -272,11 +281,30 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
             wavefront as wf_mod,
         )
 
-        noisy = wf_mod.path_trace_wavefront(
-            tri_data, camera.position, light, frame_idx, cfg,
-            interpret=interpret, planar=True, rotation=camera.rotation,
-        )
+        if cfg.indirect_split:
+            # multi-res indirect (config.py): full-res truncated trace +
+            # coarse full-length trace, G-buffer-guided upsample
+            noisy = multires.multires_noisy_wavefront(
+                tri_data, camera.position, light, frame_idx, cfg,
+                geo.normal, geo.depth, rotation=camera.rotation,
+                interpret=interpret,
+            )
+        else:
+            noisy = wf_mod.path_trace_wavefront(
+                tri_data, camera.position, light, frame_idx, cfg,
+                interpret=interpret, planar=True, rotation=camera.rotation,
+            )
     else:
+        if cfg.indirect_split:
+            # SMEM-resident scenes trace all bounces in one megakernel
+            # launch -- there is no per-segment cost for the split to
+            # save, and the truncated-trace plumbing does not exist there.
+            # Use backend="xla" to exercise the flag on small scenes.
+            raise ValueError(
+                "indirect_split requires an HBM-streamed scene on the "
+                "Pallas backend (SMEM-resident scenes gain nothing from "
+                "the split); use backend='xla' or a clustered scene"
+            )
         noisy = pt_mod.path_trace_pass_pallas(
             tri_data, camera.position, light, frame_idx, cfg,
             interpret=interpret, planar=True, rotation=camera.rotation,
