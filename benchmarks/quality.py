@@ -39,6 +39,9 @@ def ground_truth(tri_data, camera, light, cfg, total_spp: int):
     cfg = _dc.replace(
         cfg, variance_guided=False, adaptive_alpha=False,
         demodulate_albedo=False, path_gradient=False,
+        # estimator-bias fields forced off: the truth is always the
+        # unbiased full-resolution estimator
+        indirect_split=0, truncate_radiance=False,
     )
     key = (cfg, total_spp,
            np.asarray(camera.position).tobytes(),
@@ -76,6 +79,9 @@ def run(
     path_gradient: bool = False,
     width: int | None = None,
     height: int | None = None,
+    indirect_split: int = 0,
+    indirect_stride: int = 2,
+    max_bounces: int = 32,
 ):
     """One quality measurement. ``orbit`` (radians/frame): the camera
     orbits the scene center during accumulation and the final frame is
@@ -109,6 +115,11 @@ def run(
         # the A-SVGF dynamic configs
         adaptive_alpha=orbit != 0.0 or light_motion != 0.0 or path_gradient,
         path_gradient=path_gradient,
+        # multi-res indirect (estimator bias measured against the
+        # full-res truth; the truth normalizes these away)
+        indirect_split=indirect_split,
+        indirect_stride=indirect_stride,
+        max_bounces=max_bounces,
     )
     scene = ptsf.Scene.cornell_box()
     td = precompute_triangle_data(scene)
@@ -227,6 +238,20 @@ def main():
         "(re-traced sparse samples; variance-guided mode)",
     )
     parser.add_argument(
+        "--indirect", type=int, default=0, metavar="SPLIT",
+        help="also measure multi-res indirect with this split bounce "
+        "(variance-guided mode; bias vs the full-res truth)",
+    )
+    parser.add_argument(
+        "--indirect-stride", type=int, default=2,
+        help="coarse-grid stride of --indirect",
+    )
+    parser.add_argument(
+        "--max-bounces", type=int, default=32,
+        help="bounce cap for every measured mode AND the truth "
+        "(8 = the interactive estimator)",
+    )
+    parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend"
     )
     args = parser.parse_args()
@@ -236,28 +261,37 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    modes = [(False, 0, False, False, False, False)] if args.skip_variance else [
-        (False, 0, False, False, False, False),
-        (True, 0, False, False, False, False),
+    modes = [(False, 0, False, False, False, False, 0)] if args.skip_variance else [
+        (False, 0, False, False, False, False, 0),
+        (True, 0, False, False, False, False, 0),
     ]
     if args.rr_start_bounce:
-        modes.append((True, args.rr_start_bounce, False, False, False, False))
+        modes.append((True, args.rr_start_bounce, False, False, False, False, 0))
     if args.nee:
-        modes.append((True, 0, True, False, False, False))
+        modes.append((True, 0, True, False, False, False, 0))
     if args.demod:
         # demodulation requires the variance-normalized (scale-invariant)
         # luminance weight (config.py validation)
-        modes.append((True, 0, False, True, False, False))
+        modes.append((True, 0, False, True, False, False, 0))
     if args.ramp:
-        modes.append((True, 0, False, False, True, False))
+        modes.append((True, 0, False, False, True, False, 0))
     if args.path_gradient:
-        modes.append((True, 0, False, False, args.ramp, True))
-    for variance_guided, rr, nee, demod, ramp, pg in modes:
+        modes.append((True, 0, False, False, args.ramp, True, 0))
+    if args.indirect:
+        # like-for-like: the multi-res row keeps the same RR setting so
+        # the delta against the variance-guided row isolates the split
+        modes.append(
+            (True, args.rr_start_bounce, False, False, False, False,
+             args.indirect)
+        )
+    for variance_guided, rr, nee, demod, ramp, pg, ind in modes:
         stats = run(
             args.size, args.spp, args.frames, variance_guided, rr, nee,
             width=args.width, height=args.height,
             demodulate=demod, ramp=ramp, orbit=args.orbit,
             light_motion=args.light_motion, path_gradient=pg,
+            indirect_split=ind, indirect_stride=args.indirect_stride,
+            max_bounces=args.max_bounces,
         )
         improvement = stats["rmse_noisy_1spp"] / max(
             stats["rmse_denoised"], 1e-12
@@ -273,6 +307,10 @@ def main():
             mode += " + accumulation ramp"
         if pg:
             mode += " + path gradient"
+        if ind:
+            mode += f" + indirect split@{ind} stride {args.indirect_stride}"
+        if args.max_bounces != 32:
+            mode += f" (mb{args.max_bounces})"
         if args.orbit:
             mode += f" (orbit {args.orbit:g} rad/frame)"
         if args.light_motion:

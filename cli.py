@@ -56,6 +56,14 @@ def main() -> None:
                         "termination, big win on enclosed scenes)")
     parser.add_argument("--no-light-quirk", action="store_true",
                         help="make the sphere light respect occluders")
+    parser.add_argument("--indirect-split", type=int, default=0,
+                        help="multi-resolution indirect: trace bounces "
+                        ">= this index on a subsampled grid and upsample "
+                        "with G-buffer guidance (non-parity; 0 = off; "
+                        "needs a streamed scene or --cpu)")
+    parser.add_argument("--indirect-stride", type=int, default=2,
+                        help="coarse-grid stride of --indirect-split "
+                        "(2 -> 1/4 of the indirect rays)")
     parser.add_argument("--out", default=None, help="output dir for PNG frames")
     parser.add_argument("--save-every", type=int, default=1)
     parser.add_argument("--move-camera", type=float, nargs=3, default=None,
@@ -76,6 +84,13 @@ def main() -> None:
         parser.error(
             "--path-gradient requires --adaptive-alpha or "
             "--accumulation-ramp (nothing else consumes the gradient)"
+        )
+    if args.indirect_split and not (
+        1 <= args.indirect_split < args.max_bounces
+    ):
+        parser.error(
+            "--indirect-split must be in [1, max_bounces) -- the coarse "
+            "tail needs at least one segment"
         )
 
     if args.cpu:
@@ -104,6 +119,8 @@ def main() -> None:
         rr_start_bounce=args.rr_start_bounce,
         nee=args.nee,
         path_gradient=args.path_gradient,
+        indirect_split=args.indirect_split,
+        indirect_stride=args.indirect_stride,
     )
     if args.scene:
         scene = ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))

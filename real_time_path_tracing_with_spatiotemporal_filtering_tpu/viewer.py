@@ -72,6 +72,8 @@ def build_config(args):
         variance_guided=ramp, accumulation_ramp=ramp,
         adaptive_alpha=ramp,
         path_gradient=args.path_gradient,
+        indirect_split=args.indirect_split,
+        indirect_stride=args.indirect_stride,
     )
 
 
@@ -159,6 +161,11 @@ def main() -> None:
     parser.add_argument("--ramp", action="store_true",
                         help="best interactive quality: variance-guided "
                         "SVGF + accumulation ramp + adaptive alpha")
+    parser.add_argument("--indirect-split", type=int, default=0,
+                        help="multi-res indirect: bounces >= this index "
+                        "traced on a subsampled grid (non-parity; 0 = off)")
+    parser.add_argument("--indirect-stride", type=int, default=2,
+                        help="coarse-grid stride of --indirect-split")
     parser.add_argument("--path-gradient", action="store_true",
                         help="A-SVGF path-space temporal gradient "
                         "(re-traced sparse samples; implies --ramp)")
