@@ -30,7 +30,8 @@ def main():
     parser.add_argument(
         "--variants", type=str,
         default="base,s2x2,s2x4,s1x4",
-        help="comma list: base | s<split>x<stride>",
+        help="comma list: base | s<split>x<stride>; append 'g' for "
+        "gbuffer_primary (G-buffer-seeded bounce 0), e.g. s1x4g / baseg",
     )
     args = parser.parse_args()
 
@@ -60,13 +61,19 @@ def main():
         r.camera = Camera.orbit([0.0, 1.0, 0.0], 6.0, 0.01 * i, 1.0)
 
     for variant in args.variants.split(","):
-        if variant == "base":
+        name = variant
+        gprim = name.endswith("g")
+        if gprim:
+            name = name[:-1]
+        if name == "base":
             cfg = base
         else:
-            split, stride = variant.lstrip("s").split("x")
+            split, stride = name.lstrip("s").split("x")
             cfg = dataclasses.replace(
                 base, indirect_split=int(split), indirect_stride=int(stride)
             )
+        if gprim:
+            cfg = dataclasses.replace(cfg, gbuffer_primary=True)
         ms = bench_renderer(
             lambda: ptsf.Renderer(scene, cfg), args.frames, orbit
         )

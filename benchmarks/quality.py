@@ -82,6 +82,7 @@ def run(
     indirect_split: int = 0,
     indirect_stride: int = 2,
     max_bounces: int = 32,
+    gbuffer_primary: bool = False,
 ):
     """One quality measurement. ``orbit`` (radians/frame): the camera
     orbits the scene center during accumulation and the final frame is
@@ -120,6 +121,10 @@ def run(
         indirect_split=indirect_split,
         indirect_stride=indirect_stride,
         max_bounces=max_bounces,
+        # G-buffer-seeded primaries (no primary AA jitter); the truth
+        # keeps the jittered reference estimator, so this row measures
+        # the mode's full bias (including the lost anti-aliasing)
+        gbuffer_primary=gbuffer_primary,
     )
     scene = ptsf.Scene.cornell_box()
     td = precompute_triangle_data(scene)
@@ -252,6 +257,12 @@ def main():
         "(8 = the interactive estimator)",
     )
     parser.add_argument(
+        "--gbuffer-primary", action="store_true",
+        help="also measure G-buffer-seeded primaries (no primary AA "
+        "jitter) in variance-guided mode, with and without the "
+        "--indirect split -- total bias vs the jittered truth",
+    )
+    parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend"
     )
     args = parser.parse_args()
@@ -284,14 +295,26 @@ def main():
             (True, args.rr_start_bounce, False, False, False, False,
              args.indirect)
         )
-    for variance_guided, rr, nee, demod, ramp, pg, ind in modes:
+    if args.gbuffer_primary:
+        # variance-guided + G-buffer primaries, then the full interactive
+        # estimator stack (split + seed) when --indirect is also given
+        modes.append(
+            (True, args.rr_start_bounce, False, False, False, False, 0, True)
+        )
+        if args.indirect:
+            modes.append(
+                (True, args.rr_start_bounce, False, False, False, False,
+                 args.indirect, True)
+            )
+    for variance_guided, rr, nee, demod, ramp, pg, ind, *rest in modes:
+        gp = bool(rest[0]) if rest else False
         stats = run(
             args.size, args.spp, args.frames, variance_guided, rr, nee,
             width=args.width, height=args.height,
             demodulate=demod, ramp=ramp, orbit=args.orbit,
             light_motion=args.light_motion, path_gradient=pg,
             indirect_split=ind, indirect_stride=args.indirect_stride,
-            max_bounces=args.max_bounces,
+            max_bounces=args.max_bounces, gbuffer_primary=gp,
         )
         improvement = stats["rmse_noisy_1spp"] / max(
             stats["rmse_denoised"], 1e-12
@@ -309,6 +332,8 @@ def main():
             mode += " + path gradient"
         if ind:
             mode += f" + indirect split@{ind} stride {args.indirect_stride}"
+        if gp:
+            mode += " + G-buffer primaries"
         if args.max_bounces != 32:
             mode += f" (mb{args.max_bounces})"
         if args.orbit:

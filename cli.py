@@ -64,6 +64,12 @@ def main() -> None:
     parser.add_argument("--indirect-stride", type=int, default=2,
                         help="coarse-grid stride of --indirect-split "
                         "(2 -> 1/4 of the indirect rays)")
+    parser.add_argument("--gbuffer-primary", action="store_true",
+                        help="seed bounce 0 from the G-buffer instead of "
+                        "re-tracing it (non-parity: disables primary AA "
+                        "jitter; deletes the full-res bounce-0 traversal "
+                        "on streamed scenes; needs a streamed scene or "
+                        "--cpu)")
     parser.add_argument("--out", default=None, help="output dir for PNG frames")
     parser.add_argument("--save-every", type=int, default=1)
     parser.add_argument("--move-camera", type=float, nargs=3, default=None,
@@ -121,6 +127,7 @@ def main() -> None:
         path_gradient=args.path_gradient,
         indirect_split=args.indirect_split,
         indirect_stride=args.indirect_stride,
+        gbuffer_primary=args.gbuffer_primary,
     )
     if args.scene:
         scene = ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))

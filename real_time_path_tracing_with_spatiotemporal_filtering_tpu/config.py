@@ -171,6 +171,21 @@ class RenderConfig:
     # scale) but consistent with the SVGF filter downstream; measured
     # quality impact in benchmarks/quality.py. 0 = off (reference parity).
     indirect_split: int = 0
+    # --- G-buffer-seeded primary rays (non-parity extension) ---
+    # The visibility pass already ray-traces primary visibility with the
+    # tracer's own camera model (ops/gbuffer.py replaces the reference's
+    # raster pass, SURVEY.md section 7), yet the path tracer re-traces
+    # bounce 0 from the camera (raytrace.comp.glsl:300 does the same).
+    # gbuffer_primary replays bounce 0 off the G-buffer's committed hit
+    # (visibility id, world position, normal, albedo) and starts the trace
+    # at segment 1 -- on HBM-streamed scenes this deletes the full-res
+    # bounce-0 traversal segment entirely (and with indirect_split=1 the
+    # full-resolution trace becomes traversal-free). Primary AA jitter is
+    # disabled (raster-G-buffer semantics, the standard SVGF-era split);
+    # the jitter draws still advance the PCG stream, so the output is
+    # bit-identical to a full trace with aa_sigma=0. Incompatible with
+    # nee (the bounce-0 shadow ray would itself need a traversal).
+    gbuffer_primary: bool = False
     indirect_stride: int = 2         # coarse grid stride (2 -> 1/4 rays)
     indirect_sigma_z: float = 0.02   # depth edge stop of the upsampler
     indirect_normal_pow: int = 8     # normal edge stop exponent (2^n squarings)
@@ -255,6 +270,12 @@ class RenderConfig:
                 raise ValueError("indirect_sigma_z must be > 0")
             if self.indirect_normal_pow < 0:
                 raise ValueError("indirect_normal_pow must be >= 0")
+        if self.gbuffer_primary and self.nee:
+            raise ValueError(
+                "gbuffer_primary is incompatible with nee (the bounce-0 "
+                "NEE shadow ray needs a scene traversal, which is exactly "
+                "what the G-buffer seed removes)"
+            )
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto, xla or pallas")
 

@@ -190,21 +190,31 @@ def _split_cfgs(cfg):
 
 def multires_noisy_xla(
     tri_data, camera_pos, light, frame_idx, cfg, normal_img, depth,
-    rotation=None,
+    rotation=None, primary=None,
 ):
     """XLA-path multi-res noisy estimate: full-res truncated trace +
     coarse full-length trace, combined per combine_planes. ``normal_img``
     (H, W, 3) and ``depth`` (H, W) are the G-buffer guide planes.
-    Returns (H, W, 3) radiance."""
+    Returns (H, W, 3) radiance.
+
+    ``primary``: full-res (vis, world_pos, n_geo, albedo) G-buffer
+    attribute arrays (cfg.gbuffer_primary); both the truncated full-res
+    trace and the coarse tail seed bounce 0 from them (the coarse trace
+    subsamples them on the coarse grid, which keeps the residual
+    slice-exact)."""
     split_cfg, tail_cfg = _split_cfgs(cfg)
+    s = cfg.indirect_stride
+    prim_c = None
+    if primary is not None:
+        prim_c = tuple(p[::s, ::s] for p in primary)
     trunc, thru = pathtrace.path_trace_pass(
         tri_data, camera_pos, light, frame_idx, split_cfg,
-        rotation=rotation, emit_throughput=True,
+        rotation=rotation, emit_throughput=True, primary=primary,
     )
     py_c, px_c = coarse_grid(cfg.height, cfg.width, cfg.indirect_stride)
     full_c = pathtrace.trace_pixels(
         tri_data, camera_pos, light, frame_idx, px_c, py_c, tail_cfg,
-        rotation=rotation,
+        rotation=rotation, primary=prim_c,
     )
     guide_full = (
         normal_img[..., 0], normal_img[..., 1], normal_img[..., 2], depth
@@ -221,25 +231,36 @@ def multires_noisy_xla(
 
 def multires_noisy_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg, normal_planes, depth,
-    rotation=None, interpret=False,
+    rotation=None, interpret=False, primary=None,
 ):
     """Wavefront-path multi-res noisy estimate (HBM-streamed scenes).
     ``normal_planes``: (nx, ny, nz) planes from the fused geometry kernel;
-    ``depth``: (H, W). Returns planar (r, g, b)."""
+    ``depth``: (H, W). Returns planar (r, g, b).
+
+    ``primary``: full-res (H, W) G-buffer attribute planes
+    (vis, wx, wy, wz, nx, ny, nz, ar, ag, ab) for cfg.gbuffer_primary;
+    with indirect_split=1 the truncated full-res trace then launches NO
+    traversal kernel at all (bounce 0 comes off the G-buffer) and only
+    the 1/stride^2 coarse tail traverses the scene."""
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
         wavefront as wf_mod,
     )
 
     split_cfg, tail_cfg = _split_cfgs(cfg)
+    s = cfg.indirect_stride
+    prim_full = prim_c = None
+    if primary is not None:
+        prim_full = tuple(p.reshape(-1) for p in primary)
+        prim_c = tuple(p[::s, ::s].reshape(-1) for p in primary)
     trunc_pl, thru_pl = wf_mod.path_trace_wavefront(
         tri_data, camera_pos, light, frame_idx, split_cfg,
         interpret=interpret, planar=True, rotation=rotation,
-        emit_throughput=True,
+        emit_throughput=True, primary_from=prim_full,
     )
     py_c, px_c = coarse_grid(cfg.height, cfg.width, cfg.indirect_stride)
     full_c = wf_mod.trace_pixels_wavefront(
         tri_data, camera_pos, light, frame_idx, px_c, py_c, tail_cfg,
-        rotation=rotation, interpret=interpret,
+        rotation=rotation, interpret=interpret, primary_from=prim_c,
     )
     guide_full = normal_planes + (depth,)
     return combine_planes(

@@ -516,6 +516,7 @@ def path_trace_wavefront(
     row_offset=0, rows=None, interpret=False, planar=False, rotation=None,
     collect_stats=False, sort_mode=DEFAULT_SORT_MODE, tile_w=None,
     hdr_lanes=None, probe_double=None, emit_throughput=False,
+    primary_from=None,
 ):
     """Wavefront drop-in for path_trace_pass_pallas on clustered scenes.
 
@@ -543,7 +544,7 @@ def path_trace_wavefront(
         interpret=interpret, rotation=rotation,
         collect_stats=collect_stats, sort_mode=sort_mode, tile_w=tile_w,
         hdr_lanes=hdr_lanes, probe_double=probe_double,
-        emit_throughput=emit_throughput,
+        emit_throughput=emit_throughput, primary_from=primary_from,
     )
     if collect_stats:
         planes_out, stats = out
@@ -568,7 +569,7 @@ def path_trace_wavefront(
 def trace_pixels_wavefront(
     tri_data, camera_pos, light, frame_idx, px, py, cfg,
     rotation=None, interpret=False, sort_mode=DEFAULT_SORT_MODE,
-    tile_w=None, hdr_lanes=None,
+    tile_w=None, hdr_lanes=None, primary_from=None,
 ):
     """Wavefront twin of ops.pathtrace.trace_pixels: trace EXPLICIT global
     pixel coordinate arrays through the HBM-streamed wavefront tracer.
@@ -587,6 +588,7 @@ def trace_pixels_wavefront(
         jnp.asarray(py, jnp.int32).reshape(-1),
         interpret=interpret, rotation=rotation,
         sort_mode=sort_mode, tile_w=tile_w, hdr_lanes=hdr_lanes,
+        primary_from=primary_from,
     )
     return jnp.stack(
         [r.reshape(shape), g.reshape(shape), b.reshape(shape)], axis=-1
@@ -597,7 +599,7 @@ def _wavefront_core(
     tri_data, camera_pos, light, frame_idx, cfg, px_flat, py_flat,
     *, interpret=False, rotation=None, collect_stats=False,
     sort_mode=DEFAULT_SORT_MODE, tile_w=None, hdr_lanes=None,
-    probe_double=None, emit_throughput=False,
+    probe_double=None, emit_throughput=False, primary_from=None,
 ):
     """Shared wavefront trace over a flat list of global pixel coords.
 
@@ -607,7 +609,14 @@ def _wavefront_core(
 
     ``probe_double``: doubling-probe phase name for the time breakdown
     ('sort' doubles the XLA ray re-sort; the rest go to the traversal
-    kernel -- see _ordered_stream_loop). Output stays bit-identical."""
+    kernel -- see _ordered_stream_loop). Output stays bit-identical.
+
+    ``primary_from``: flat (n_pix,) G-buffer attribute planes
+    (vis, wx, wy, wz, nx, ny, nz, ar, ag, ab) aligned with
+    ``px_flat``/``py_flat`` (cfg.gbuffer_primary): bounce 0 is replayed
+    off them in XLA (ops.pathtrace.primary_carry) and the segment loop
+    starts at 1, deleting the full-res bounce-0 traversal kernel; primary
+    AA jitter is disabled (bit-identical to a full trace at aa_sigma=0)."""
     if hdr_lanes is None:
         hdr_lanes = DEFAULT_HDR_LANES
     pair_table = tri_data.pair_table
@@ -675,6 +684,15 @@ def _wavefront_core(
     else:
         px, py = px_flat, py_flat
     in_image = pix < n_pix
+    if primary_from is not None:
+        # pad lanes get vis=0 (miss); harmless -- they are masked dead by
+        # in_image below and sliced off at the end
+        prim = tuple(
+            jnp.asarray(p, jnp.float32).reshape(-1) for p in primary_from
+        )
+        if pad:
+            zf = jnp.zeros((pad,), jnp.float32)
+            prim = tuple(jnp.concatenate([p, zf]) for p in prim)
     frame_term = (
         jnp.asarray(frame_idx, jnp.int32).astype(jnp.uint32)
         * _U(374761393)
@@ -817,6 +835,12 @@ def _wavefront_core(
                 theta_g = np.float32(2.0 * 3.14159265) * u2
                 jx = jnp.float32(cfg.aa_sigma) * r_g * jnp.cos(theta_g)
                 jy = jnp.float32(cfg.aa_sigma) * r_g * jnp.sin(theta_g)
+                if primary_from is not None:
+                    # G-buffer-seeded primaries: center rays (the draws
+                    # above still advance the stream -- bit-identical to
+                    # aa_sigma=0)
+                    jx = jx * jnp.float32(0.0)
+                    jy = jy * jnp.float32(0.0)
                 if one is not None:  # doubling-probe perturbation
                     jx, jy = jx * one, jy * one
                 fx = px.astype(f32) + jnp.float32(0.5) + jx
@@ -847,20 +871,49 @@ def _wavefront_core(
                 )
             state, ddx, ddy, ddz = gen_rays(state)
 
-            planes = tuple(
-                p.reshape(plane_shape)
-                for p in (
-                    jnp.full(n, cam[0], f32),
-                    jnp.full(n, cam[1], f32),
-                    jnp.full(n, cam[2], f32),
-                    ddx, ddy, ddz,
-                    jnp.ones(n, f32), jnp.ones(n, f32), jnp.ones(n, f32),
-                    jnp.zeros(n, f32), jnp.zeros(n, f32), jnp.zeros(n, f32),
-                    state,
-                    in_image.astype(jnp.int32),
+            if primary_from is not None:
+                # bounce 0 replayed off the G-buffer in XLA (the same
+                # shared shading step the dense oracle uses); the kernel
+                # loop then starts at segment 1
+                from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+                    pathtrace as pt_xla,
                 )
-            )
+
+                o0 = jnp.broadcast_to(cam, (n, 3))
+                d0 = jnp.stack([ddx, ddy, ddz], axis=-1)
+                o1, d1, acc1, res1, alive1, state1 = pt_xla.primary_carry(
+                    o0, d0, state, prim[0], jnp.stack(prim[1:4], axis=-1),
+                    jnp.stack(prim[4:7], axis=-1),
+                    jnp.stack(prim[7:10], axis=-1),
+                    jnp.asarray(light.position, f32), hdr, cfg,
+                )
+                planes = tuple(
+                    p.reshape(plane_shape)
+                    for p in (
+                        o1[:, 0], o1[:, 1], o1[:, 2],
+                        d1[:, 0], d1[:, 1], d1[:, 2],
+                        acc1[:, 0], acc1[:, 1], acc1[:, 2],
+                        res1[:, 0], res1[:, 1], res1[:, 2],
+                        state1,
+                        (alive1 & in_image).astype(jnp.int32),
+                    )
+                )
+            else:
+                planes = tuple(
+                    p.reshape(plane_shape)
+                    for p in (
+                        jnp.full(n, cam[0], f32),
+                        jnp.full(n, cam[1], f32),
+                        jnp.full(n, cam[2], f32),
+                        ddx, ddy, ddz,
+                        jnp.ones(n, f32), jnp.ones(n, f32), jnp.ones(n, f32),
+                        jnp.zeros(n, f32), jnp.zeros(n, f32), jnp.zeros(n, f32),
+                        state,
+                        in_image.astype(jnp.int32),
+                    )
+                )
             pix_plane = pix.reshape(plane_shape)
+            start_seg = 1 if primary_from is not None else 0
 
             if collect_stats:
                 assert cfg.spp == 1 and cfg.sample_batches == 1, (
@@ -868,7 +921,7 @@ def _wavefront_core(
                 )
                 stats_out = []
                 sort_at = _sort_segments_for(num_clusters, cfg.max_bounces)
-                for seg in range(cfg.max_bounces):
+                for seg in range(start_seg, cfg.max_bounces):
                     if not np.asarray(jnp.max(planes[13])) > 0:
                         break
                     if seg in sort_at:
@@ -876,7 +929,7 @@ def _wavefront_core(
                     outs = run_segment(seg, planes, stats=True)
                     planes = outs[:14]
                     stats_out.append(np.asarray(outs[14][:, 0, :8]))
-            else:
+            elif start_seg < cfg.max_bounces:
                 def cond(c):
                     seg, planes, _ = c
                     return (seg < cfg.max_bounces) & (jnp.max(planes[13]) > 0)
@@ -896,7 +949,7 @@ def _wavefront_core(
                     return seg + 1, planes, pix_plane
 
                 _, planes, pix_plane = jax.lax.while_loop(
-                    cond, body, (jnp.int32(0), planes, pix_plane)
+                    cond, body, (jnp.int32(start_seg), planes, pix_plane)
                 )
             alive_f = planes[13].reshape(n) != 0
             if cfg.nee or cfg.truncate_radiance:
@@ -914,6 +967,25 @@ def _wavefront_core(
                 res_r = jnp.where(alive_f, planes[6].reshape(n), planes[9].reshape(n))
                 res_g = jnp.where(alive_f, planes[7].reshape(n), planes[10].reshape(n))
                 res_b = jnp.where(alive_f, planes[8].reshape(n), planes[11].reshape(n))
+            if primary_from is not None and start_seg >= cfg.max_bounces:
+                # no segment kernel ran (gbuffer_primary + max_bounces=1,
+                # e.g. the indirect_split=1 truncated full-res trace): the
+                # planes were never sorted, so the descramble sort is a
+                # static no-op -- skip it
+                acc_r = acc_r + res_r
+                acc_g = acc_g + res_g
+                acc_b = acc_b + res_b
+                if emit_throughput:
+                    acc_tr = acc_tr + jnp.where(
+                        alive_f, planes[6].reshape(n), jnp.float32(0.0)
+                    )
+                    acc_tg = acc_tg + jnp.where(
+                        alive_f, planes[7].reshape(n), jnp.float32(0.0)
+                    )
+                    acc_tb = acc_tb + jnp.where(
+                        alive_f, planes[8].reshape(n), jnp.float32(0.0)
+                    )
+                continue
             sort_ops = (pix_plane.reshape(n), res_r, res_g, res_b)
             if emit_throughput:
                 # truncation-point path throughput (multi-res residual

@@ -162,12 +162,30 @@ def _frame_shard(
             view, proj, history_local.view, history_local.proj, cfg,
             row_offset=row_offset, rows=local_h,
             interpret=interpret, rotation=camera.rotation,
-            emit_albedo=cfg.demodulate_albedo,
+            emit_albedo=cfg.demodulate_albedo or cfg.gbuffer_primary,
         )
         visibility = geo.visibility
         depth = geo.depth
         normal_img = geo.normal
         lam = geo.lam
+        prim_flat = None
+        if cfg.gbuffer_primary:
+            # per-slab G-buffer seed (config.py): attributes are local to
+            # the slab's rows, and seeds/rays are functions of GLOBAL
+            # pixel coords, so the sharded trace stays bitwise identical
+            # to the single-chip one
+            prim_flat = tuple(
+                p.reshape(-1)
+                for p in (
+                    geo.visibility,
+                    geo.world_pos[..., 0], geo.world_pos[..., 1],
+                    geo.world_pos[..., 2],
+                    geo.normal[..., 0], geo.normal[..., 1],
+                    geo.normal[..., 2],
+                    geo.albedo[..., 0], geo.albedo[..., 1],
+                    geo.albedo[..., 2],
+                )
+            )
         if pt_mod.trace_needs_streaming(tri_data):
             # same routing as the single-chip frame: beyond-SMEM scenes go
             # to the wavefront tracer (the resident megakernel's VMEM table
@@ -180,8 +198,17 @@ def _frame_shard(
                 tri_data, camera.position, light, frame_idx, cfg,
                 row_offset=row_offset, rows=local_h,
                 interpret=interpret, rotation=camera.rotation,
+                primary_from=prim_flat,
             )
         else:
+            if cfg.gbuffer_primary:
+                # same constraint as the single-chip frame (frame.py): the
+                # SMEM megakernel has no bounce-0 segment to delete
+                raise ValueError(
+                    "gbuffer_primary requires an HBM-streamed scene on "
+                    "the Pallas backend; use backend='xla' or a "
+                    "clustered scene"
+                )
             noisy = pt_mod.path_trace_pass_pallas(
                 tri_data, camera.position, light, frame_idx, cfg,
                 row_offset=row_offset, rows=local_h,
@@ -200,9 +227,18 @@ def _frame_shard(
             light.position, history_local.light_pos,
             light.color, history_local.light_color,
         )
+        primary = None
+        if cfg.gbuffer_primary:
+            primary = (
+                gbuf.visibility,
+                gbuf.world_pos,
+                normal_img,
+                atrous.albedo_image(tri_data, gbuf.visibility),
+            )
         noisy = pathtrace.path_trace_pass(
             tri_data, camera.position, light, frame_idx, cfg,
             row_offset=row_offset, rows=local_h, rotation=camera.rotation,
+            primary=primary,
         )
 
     # Raw (pre-demodulation) trace luminance for next frame's gradient

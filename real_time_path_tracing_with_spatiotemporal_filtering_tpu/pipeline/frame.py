@@ -165,17 +165,28 @@ def render_frame_impl(
 
     # -- pass 3: path trace (raytrace.comp.glsl) --
     normal_img = tri_data.lut_normals[gbuf.visibility.astype(jnp.int32)]
+    primary = None
+    if cfg.gbuffer_primary:
+        # seed bounce 0 from the already-traced G-buffer (config.py):
+        # the trace starts at segment 1
+        primary = (
+            gbuf.visibility,
+            gbuf.world_pos,
+            normal_img,
+            atrous.albedo_image(tri_data, gbuf.visibility),
+        )
     if cfg.indirect_split:
         # multi-res indirect (config.py): full-res truncated trace +
         # coarse full-length trace, G-buffer-guided upsample
         noisy = multires.multires_noisy_xla(
             tri_data, camera.position, light, frame_idx, cfg,
             normal_img, gbuf.depth, rotation=camera.rotation,
+            primary=primary,
         )
     else:
         noisy = pathtrace.path_trace_pass(
             tri_data, camera.position, light, frame_idx, cfg,
-            rotation=camera.rotation,
+            rotation=camera.rotation, primary=primary,
         )
     noisy_lum = atrous.luminance(noisy) if cfg.path_gradient else None
 
@@ -271,8 +282,17 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         light.position, history.light_pos, light.color, history.light_color,
         view, proj, history.view, history.proj, cfg,
         interpret=interpret, planar=True, rotation=camera.rotation,
-        emit_albedo=cfg.demodulate_albedo,
+        emit_albedo=cfg.demodulate_albedo or cfg.gbuffer_primary,
     )
+    prim_img = None
+    if cfg.gbuffer_primary:
+        # full-res G-buffer attribute planes seeding bounce 0 (config.py)
+        prim_img = (
+            (geo.visibility,)
+            + tuple(geo.world_pos)
+            + tuple(geo.normal)
+            + tuple(geo.albedo)
+        )
     if pt_mod.trace_needs_streaming(tri_data):
         # beyond-SMEM scenes: wavefront tracer (per-segment kernels +
         # global ray sorting beats the streamed megakernel ~2x at 8k tris,
@@ -287,14 +307,28 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
             noisy = multires.multires_noisy_wavefront(
                 tri_data, camera.position, light, frame_idx, cfg,
                 geo.normal, geo.depth, rotation=camera.rotation,
-                interpret=interpret,
+                interpret=interpret, primary=prim_img,
             )
         else:
             noisy = wf_mod.path_trace_wavefront(
                 tri_data, camera.position, light, frame_idx, cfg,
                 interpret=interpret, planar=True, rotation=camera.rotation,
+                primary_from=(
+                    tuple(p.reshape(-1) for p in prim_img)
+                    if prim_img is not None else None
+                ),
             )
     else:
+        if cfg.gbuffer_primary:
+            # The SMEM-resident megakernel traces all bounces in one
+            # launch; there is no separate bounce-0 segment for the
+            # G-buffer seed to delete. Small scenes don't need it --
+            # use backend="xla" to exercise the flag there.
+            raise ValueError(
+                "gbuffer_primary requires an HBM-streamed scene on the "
+                "Pallas backend (the SMEM megakernel has no per-segment "
+                "cost to save); use backend='xla' or a clustered scene"
+            )
         if cfg.indirect_split:
             # SMEM-resident scenes trace all bounces in one megakernel
             # launch -- there is no per-segment cost for the split to

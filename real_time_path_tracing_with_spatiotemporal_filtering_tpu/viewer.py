@@ -72,8 +72,11 @@ def build_config(args):
         variance_guided=ramp, accumulation_ramp=ramp,
         adaptive_alpha=ramp,
         path_gradient=args.path_gradient,
-        indirect_split=args.indirect_split,
-        indirect_stride=args.indirect_stride,
+        # getattr: programmatic callers (tests) may pass a bare Namespace
+        # without the newer non-parity flags
+        indirect_split=getattr(args, "indirect_split", 0),
+        indirect_stride=getattr(args, "indirect_stride", 2),
+        gbuffer_primary=getattr(args, "gbuffer_primary", False),
     )
 
 
@@ -166,6 +169,9 @@ def main() -> None:
                         "traced on a subsampled grid (non-parity; 0 = off)")
     parser.add_argument("--indirect-stride", type=int, default=2,
                         help="coarse-grid stride of --indirect-split")
+    parser.add_argument("--gbuffer-primary", action="store_true",
+                        help="seed bounce 0 from the G-buffer (non-parity: "
+                        "no primary AA jitter; streamed scenes only)")
     parser.add_argument("--path-gradient", action="store_true",
                         help="A-SVGF path-space temporal gradient "
                         "(re-traced sparse samples; implies --ramp)")

@@ -443,3 +443,24 @@ def test_comm_ledger_1080p_ratio(cornell_tri_data):
     assert ledger.gather_fallback_bytes == int(
         per_call * ledger.reproj_halo_bytes
     )
+
+
+@requires_8
+def test_sharded_frame_gbuffer_primary(cornell_tri_data):
+    """cfg.gbuffer_primary on the sharded frame: the per-slab G-buffer
+    seed keeps the sharded render numerically equal to the single-chip
+    one (and both equal the aa_sigma=0 render, tests/test_primary.py)."""
+    cfg = dataclasses.replace(CFG, gbuffer_primary=True)
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    cam, light = Camera.default(), Light.default()
+    for _ in range(2):
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+    )
