@@ -179,6 +179,26 @@ def run_suite(quick: bool):
         )
     )
 
+    # 4c'. (extra, non-parity) 4c + the round-4 estimator levers: multi-res
+    # indirect (split@1, stride 4) + G-buffer-seeded primaries -- the
+    # full-res trace launches no traversal kernel; only the 1/16 coarse
+    # tail traverses. THE tracked row for the <=150 ms mid-scale
+    # interactive target (BASELINE.md): 220 -> 141.5 ms measured at the
+    # row's introduction.
+    if not quick:  # split + G-buffer seed need an HBM-streamed scene
+        cfg4ig = dataclasses.replace(
+            cfg4i, indirect_split=1, indirect_stride=4, gbuffer_primary=True
+        )
+        results.append(
+            (
+                f"cornell_subdiv{mid_splits}_{32 * mid_splits * mid_splits}tris_1080p_interactive_multires_gprimary_nonparity",
+                bench_renderer(
+                    lambda: ptsf.Renderer(mid_scene, cfg4ig), big_frames,
+                    orbit4,
+                ),
+            )
+        )
+
     # 4d. (extra, non-parity) the SPONZA-SCALE interactive config: the
     # 247,808-tri stress scene with the same interactive levers as 4c
     # (max_bounces=8, RR@2, adaptive alpha) -- the scale row the <1 s
@@ -192,6 +212,22 @@ def run_suite(quick: bool):
             ),
         )
     )
+
+    # 4d'. (extra, non-parity) Sponza-scale + multi-res indirect +
+    # G-buffer primaries: the <1 s/frame-at-scale row
+    if not quick:  # split + G-buffer seed need an HBM-streamed scene
+        cfg4sig = dataclasses.replace(
+            cfg4si, indirect_split=1, indirect_stride=4, gbuffer_primary=True
+        )
+        results.append(
+            (
+                f"cornell_subdiv{splits}_{32 * splits * splits}tris_1080p_interactive_multires_gprimary_nonparity",
+                bench_renderer(
+                    lambda: ptsf.Renderer(big_scene, cfg4sig), big_frames,
+                    orbit4,
+                ),
+            )
+        )
 
     # 5. dynamic light + camera cuts, 4spp, gradient-driven rejection
     cfg5 = ptsf.RenderConfig(
