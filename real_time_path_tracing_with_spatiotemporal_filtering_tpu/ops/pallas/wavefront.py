@@ -985,6 +985,10 @@ def _wavefront_core(
                     acc_tb = acc_tb + jnp.where(
                         alive_f, planes[8].reshape(n), jnp.float32(0.0)
                     )
+                if raygen_sink is not None:
+                    # keep the raygen doubling-probe's sink alive in the
+                    # skip-sort branch too (probe timing only)
+                    acc_r = acc_r + raygen_sink
                 continue
             sort_ops = (pix_plane.reshape(n), res_r, res_g, res_b)
             if emit_throughput:

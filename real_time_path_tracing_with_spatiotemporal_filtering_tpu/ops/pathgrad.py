@@ -35,6 +35,8 @@ consumers (adaptive alpha, accumulation-ramp reset).
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -118,6 +120,14 @@ def retrace_lambda(
     """
     if trace_fn is None:
         trace_fn = pathtrace.trace_pixels
+    if cfg.gbuffer_primary:
+        # The stored frame traced bounce 0 off the CURRENT G-buffer; the
+        # previous frame's G-buffer is gone, so re-trace the full path
+        # with aa_sigma=0 instead -- by the mode's contract (config.py:
+        # the jitter draws still advance the PCG stream) this is
+        # bit-identical to the seeded trace, keeping lambda exactly 0 on
+        # static scenes.
+        cfg = dataclasses.replace(cfg, aa_sigma=0.0, gbuffer_primary=False)
     rgb_new = trace_fn(
         tri_data,
         cam_pos_prev,

@@ -120,6 +120,45 @@ def test_gradient_exactly_zero_when_nothing_changed(cornell_tri_data):
     assert float(jnp.max(jnp.abs(lam))) == 0.0
 
 
+def test_gradient_exactly_zero_with_gbuffer_primary(cornell_tri_data):
+    """With cfg.gbuffer_primary the stored frame luminance comes from the
+    G-buffer-seeded (center-ray) trace; the re-trace must drop the AA
+    jitter too (aa_sigma=0 re-trace, bit-identical by the mode's
+    contract) or a fully static scene shows a spurious gradient and
+    temporal accumulation is spuriously reset (round-4 advisor finding)."""
+    cfg = dataclasses.replace(CFG, gbuffer_primary=True)
+    cam, light = Camera.default(), Light.default()
+    view, proj = frame_mod.camera_matrices(cam, cfg)
+    f = jnp.int32(5)
+    gbuf = gbuffer.visibility_pass(
+        cornell_tri_data, cam.position, view, proj, cfg,
+        rotation=cam.rotation,
+    )
+    normal_img = cornell_tri_data.lut_normals[
+        gbuf.visibility.astype(jnp.int32)
+    ]
+    prim = (
+        gbuf.visibility,
+        gbuf.world_pos,
+        normal_img,
+        atrous.albedo_image(cornell_tri_data, gbuf.visibility),
+    )
+    noisy_prev = pathtrace.path_trace_pass(
+        cornell_tri_data, cam.position, light, f - 1, cfg,
+        rotation=cam.rotation, primary=prim,
+    )
+    lum_prev = atrous.luminance(noisy_prev)
+    py, px = atrous.backproject_pixels(
+        gbuf, cornell_tri_data.lut, view, proj, cfg
+    )
+    lam = pathgrad.path_gradient_pass(
+        cornell_tri_data, light, f, cfg, lum_prev,
+        jnp.asarray(cam.position), jnp.asarray(cam.rotation),
+        py, px, gbuf.visibility, gbuf.visibility,
+    )
+    assert float(jnp.max(jnp.abs(lam))) == 0.0
+
+
 def test_gradient_fires_where_light_moved(cornell_tri_data):
     cfg = CFG
     cam, light, f, lum_prev, gbuf, py, px = _gradient_inputs(

@@ -139,6 +139,30 @@ def test_xla_primary_with_rr_and_truncate(cornell_td):
     np.testing.assert_array_equal(np.asarray(thru_s), np.asarray(thru_f))
 
 
+def test_xla_primary_light_ordering_mode(cornell_td):
+    """light_through_walls=False (the non-parity light-vs-triangle
+    ordering): primary_carry reconstructs rec.t as dot(world_pos - o, d),
+    which can differ from the intersector's t in the last ulp, so the
+    contract here is allclose rather than bit-equal (round-4 advisor
+    finding -- the docstring caveat now has a test)."""
+    cam, light = Camera.default(), Light.default()
+    cfg = dataclasses.replace(CFG, light_through_walls=False)
+    prim = _primary_from_gbuf(cornell_td, _gbuf(cornell_td, cam, cfg))
+    seeded = pathtrace.path_trace_pass(
+        cornell_td, cam.position, light, jnp.int32(3),
+        dataclasses.replace(cfg, gbuffer_primary=True),
+        rotation=cam.rotation, primary=prim,
+    )
+    full = pathtrace.path_trace_pass(
+        cornell_td, cam.position, light, jnp.int32(3),
+        dataclasses.replace(cfg, aa_sigma=0.0),
+        rotation=cam.rotation,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seeded), np.asarray(full), rtol=0, atol=2e-5
+    )
+
+
 def test_xla_primary_spp_batches(cornell_td):
     """Multi-sample/multi-batch streams stay aligned (each sample's
     jitter draws advance the state exactly as at aa_sigma=0)."""
