@@ -93,7 +93,8 @@ def _int_pow(x, p: int):
     return acc
 
 
-def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg):
+def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg,
+                       row_shift=None):
     """Joint-bilateral 2x2 tent upsample of coarse planes to full res.
 
     ``coarse_planes``: tuple of (Hc, Wc) planes (the demodulated residual
@@ -101,7 +102,17 @@ def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg):
     plane tuples at coarse / full resolution. Returns the upsampled
     full-res plane tuple. At exact coarse pixels the nearest neighbor's
     weight is 1 and the others 0, so the coarse values pass through
-    unchanged."""
+    unchanged.
+
+    ``row_shift``: optional callable c -> c[i+1]-along-rows with edge
+    clamp. Default is the local static shift; the row-sharded frame
+    passes a 1-coarse-row ICI halo exchange (the next device's first
+    coarse row; globally edge-clamped), which makes the sharded upsample
+    bitwise identical to the single-chip one. Note ``fy`` below uses the
+    LOCAL row index mod stride -- valid under sharding because shard
+    offsets are validated to be multiples of the stride."""
+    if row_shift is None:
+        row_shift = lambda c: _shift_next(c, 0)  # noqa: E731
     s = cfg.indirect_stride
     h, w = guide_full[0].shape
     fy = (
@@ -119,7 +130,7 @@ def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg):
 
     def four_neighbors(c):
         c01 = _shift_next(c, 1)
-        c10 = _shift_next(c, 0)
+        c10 = row_shift(c)
         c11 = _shift_next(c10, 1)
         return tuple(_expand(v, s, h, w) for v in (c, c01, c10, c11))
 
@@ -160,12 +171,14 @@ def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg):
     return tuple(out)
 
 
-def combine_planes(trunc_pl, thru_pl, full_c_pl, guide_full, cfg):
+def combine_planes(trunc_pl, thru_pl, full_c_pl, guide_full, cfg,
+                   row_shift=None):
     """Assemble the multi-res estimate from per-channel planes.
 
     trunc_pl / thru_pl: full-res (H, W) plane triples from the truncated
     trace; full_c_pl: coarse (Hc, Wc) plane triple of the full-length
-    trace. Returns the (r, g, b) noisy planes."""
+    trace. Returns the (r, g, b) noisy planes. ``row_shift``: see
+    :func:`bilateral_upsample` (the sharded frame's coarse-row halo)."""
     s = cfg.indirect_stride
     thru_c = tuple(t[::s, ::s] for t in thru_pl)
     resid = tuple(
@@ -173,7 +186,9 @@ def combine_planes(trunc_pl, thru_pl, full_c_pl, guide_full, cfg):
         for fc, t, tc in zip(full_c_pl, trunc_pl, thru_c)
     )
     guide_coarse = tuple(g[::s, ::s] for g in guide_full)
-    up = bilateral_upsample(resid, guide_coarse, guide_full, cfg)
+    up = bilateral_upsample(
+        resid, guide_coarse, guide_full, cfg, row_shift=row_shift
+    )
     return tuple(t + u * th for t, u, th in zip(trunc_pl, up, thru_pl))
 
 
@@ -190,7 +205,7 @@ def _split_cfgs(cfg):
 
 def multires_noisy_xla(
     tri_data, camera_pos, light, frame_idx, cfg, normal_img, depth,
-    rotation=None, primary=None,
+    rotation=None, primary=None, row_offset=0, rows=None, row_shift=None,
 ):
     """XLA-path multi-res noisy estimate: full-res truncated trace +
     coarse full-length trace, combined per combine_planes. ``normal_img``
@@ -201,17 +216,27 @@ def multires_noisy_xla(
     attribute arrays (cfg.gbuffer_primary); both the truncated full-res
     trace and the coarse tail seed bounce 0 from them (the coarse trace
     subsamples them on the coarse grid, which keeps the residual
-    slice-exact)."""
+    slice-exact).
+
+    ``row_offset``/``rows``/``row_shift``: row-sharded slab rendering
+    (parallel/frame_sharded.py). ``row_offset`` must be a multiple of the
+    stride (validated by make_sharded_frame), so the local coarse slab is
+    exactly this shard's rows of the global coarse grid and every PCG
+    draw keys on the same global pixel coordinates -- the sharded
+    estimate is bitwise identical to the single-chip one."""
     split_cfg, tail_cfg = _split_cfgs(cfg)
     s = cfg.indirect_stride
+    h = cfg.height if rows is None else rows
     prim_c = None
     if primary is not None:
         prim_c = tuple(p[::s, ::s] for p in primary)
     trunc, thru = pathtrace.path_trace_pass(
         tri_data, camera_pos, light, frame_idx, split_cfg,
         rotation=rotation, emit_throughput=True, primary=primary,
+        row_offset=row_offset, rows=rows,
     )
-    py_c, px_c = coarse_grid(cfg.height, cfg.width, cfg.indirect_stride)
+    py_c, px_c = coarse_grid(h, cfg.width, cfg.indirect_stride)
+    py_c = py_c + row_offset
     full_c = pathtrace.trace_pixels(
         tri_data, camera_pos, light, frame_idx, px_c, py_c, tail_cfg,
         rotation=rotation, primary=prim_c,
@@ -225,6 +250,7 @@ def multires_noisy_xla(
         tuple(full_c[..., i] for i in range(3)),
         guide_full,
         cfg,
+        row_shift=row_shift,
     )
     return jnp.stack(noisy, axis=-1)
 
@@ -232,6 +258,7 @@ def multires_noisy_xla(
 def multires_noisy_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg, normal_planes, depth,
     rotation=None, interpret=False, primary=None,
+    row_offset=0, rows=None, row_shift=None,
 ):
     """Wavefront-path multi-res noisy estimate (HBM-streamed scenes).
     ``normal_planes``: (nx, ny, nz) planes from the fused geometry kernel;
@@ -241,13 +268,17 @@ def multires_noisy_wavefront(
     (vis, wx, wy, wz, nx, ny, nz, ar, ag, ab) for cfg.gbuffer_primary;
     with indirect_split=1 the truncated full-res trace then launches NO
     traversal kernel at all (bounce 0 comes off the G-buffer) and only
-    the 1/stride^2 coarse tail traverses the scene."""
+    the 1/stride^2 coarse tail traverses the scene.
+
+    ``row_offset``/``rows``/``row_shift``: row-sharded slab rendering --
+    see :func:`multires_noisy_xla`."""
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
         wavefront as wf_mod,
     )
 
     split_cfg, tail_cfg = _split_cfgs(cfg)
     s = cfg.indirect_stride
+    h = cfg.height if rows is None else rows
     prim_full = prim_c = None
     if primary is not None:
         prim_full = tuple(p.reshape(-1) for p in primary)
@@ -256,8 +287,10 @@ def multires_noisy_wavefront(
         tri_data, camera_pos, light, frame_idx, split_cfg,
         interpret=interpret, planar=True, rotation=rotation,
         emit_throughput=True, primary_from=prim_full,
+        row_offset=row_offset, rows=rows,
     )
-    py_c, px_c = coarse_grid(cfg.height, cfg.width, cfg.indirect_stride)
+    py_c, px_c = coarse_grid(h, cfg.width, cfg.indirect_stride)
+    py_c = py_c + row_offset
     full_c = wf_mod.trace_pixels_wavefront(
         tri_data, camera_pos, light, frame_idx, px_c, py_c, tail_cfg,
         rotation=rotation, interpret=interpret, primary_from=prim_c,
@@ -269,4 +302,5 @@ def multires_noisy_wavefront(
         tuple(full_c[..., i] for i in range(3)),
         guide_full,
         cfg,
+        row_shift=row_shift,
     )

@@ -168,24 +168,19 @@ def _frame_shard(
         depth = geo.depth
         normal_img = geo.normal
         lam = geo.lam
-        prim_flat = None
+        prim_planes = prim_flat = None
         if cfg.gbuffer_primary:
             # per-slab G-buffer seed (config.py): attributes are local to
             # the slab's rows, and seeds/rays are functions of GLOBAL
             # pixel coords, so the sharded trace stays bitwise identical
             # to the single-chip one
-            prim_flat = tuple(
-                p.reshape(-1)
-                for p in (
-                    geo.visibility,
-                    geo.world_pos[..., 0], geo.world_pos[..., 1],
-                    geo.world_pos[..., 2],
-                    geo.normal[..., 0], geo.normal[..., 1],
-                    geo.normal[..., 2],
-                    geo.albedo[..., 0], geo.albedo[..., 1],
-                    geo.albedo[..., 2],
-                )
+            prim_planes = (
+                (geo.visibility,)
+                + tuple(geo.world_pos[..., i] for i in range(3))
+                + tuple(geo.normal[..., i] for i in range(3))
+                + tuple(geo.albedo[..., i] for i in range(3))
             )
+            prim_flat = tuple(p.reshape(-1) for p in prim_planes)
         if pt_mod.trace_needs_streaming(tri_data):
             # same routing as the single-chip frame: beyond-SMEM scenes go
             # to the wavefront tracer (the resident megakernel's VMEM table
@@ -194,20 +189,44 @@ def _frame_shard(
                 wavefront as wf_mod,
             )
 
-            noisy = wf_mod.path_trace_wavefront(
-                tri_data, camera.position, light, frame_idx, cfg,
-                row_offset=row_offset, rows=local_h,
-                interpret=interpret, rotation=camera.rotation,
-                primary_from=prim_flat,
-            )
+            if cfg.indirect_split:
+                # multi-res indirect on the sharded frame: the coarse grid
+                # rows shard with the slab (row_offset is a multiple of
+                # the stride, make_sharded_frame), and the upsampler's
+                # next-coarse-row shift resolves through a 1-coarse-row
+                # ICI halo (globally edge-clamped) -- bitwise identical
+                # to the single-chip estimate (tests/test_sharding.py).
+                from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+                    multires,
+                )
+
+                noisy_pl = multires.multires_noisy_wavefront(
+                    tri_data, camera.position, light, frame_idx, cfg,
+                    tuple(geo.normal[..., i] for i in range(3)), geo.depth,
+                    rotation=camera.rotation, interpret=interpret,
+                    primary=prim_planes,
+                    row_offset=row_offset, rows=local_h,
+                    row_shift=lambda c: exchange_row_halo(
+                        c, 1, axis, ledger
+                    )[2:],
+                )
+                noisy = jnp.stack(noisy_pl, axis=-1)
+            else:
+                noisy = wf_mod.path_trace_wavefront(
+                    tri_data, camera.position, light, frame_idx, cfg,
+                    row_offset=row_offset, rows=local_h,
+                    interpret=interpret, rotation=camera.rotation,
+                    primary_from=prim_flat,
+                )
         else:
-            if cfg.gbuffer_primary:
+            if cfg.gbuffer_primary or cfg.indirect_split:
                 # same constraint as the single-chip frame (frame.py): the
-                # SMEM megakernel has no bounce-0 segment to delete
+                # SMEM megakernel traces all bounces in one launch -- no
+                # bounce-0 segment to delete, no per-segment cost to split
                 raise ValueError(
-                    "gbuffer_primary requires an HBM-streamed scene on "
-                    "the Pallas backend; use backend='xla' or a "
-                    "clustered scene"
+                    "gbuffer_primary/indirect_split require an HBM-"
+                    "streamed scene on the Pallas backend; use "
+                    "backend='xla' or a clustered scene"
                 )
             noisy = pt_mod.path_trace_pass_pallas(
                 tri_data, camera.position, light, frame_idx, cfg,
@@ -235,11 +254,23 @@ def _frame_shard(
                 normal_img,
                 atrous.albedo_image(tri_data, gbuf.visibility),
             )
-        noisy = pathtrace.path_trace_pass(
-            tri_data, camera.position, light, frame_idx, cfg,
-            row_offset=row_offset, rows=local_h, rotation=camera.rotation,
-            primary=primary,
-        )
+        if cfg.indirect_split:
+            from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+                multires,
+            )
+
+            noisy = multires.multires_noisy_xla(
+                tri_data, camera.position, light, frame_idx, cfg,
+                normal_img, gbuf.depth, rotation=camera.rotation,
+                primary=primary, row_offset=row_offset, rows=local_h,
+                row_shift=lambda c: exchange_row_halo(c, 1, axis, ledger)[2:],
+            )
+        else:
+            noisy = pathtrace.path_trace_pass(
+                tri_data, camera.position, light, frame_idx, cfg,
+                row_offset=row_offset, rows=local_h, rotation=camera.rotation,
+                primary=primary,
+            )
 
     # Raw (pre-demodulation) trace luminance for next frame's gradient
     # re-trace (single-chip ordering: frame.py computes it before demod).
@@ -414,11 +445,12 @@ def make_sharded_frame(
             f"({cfg.height // n} % {cfg.gradient_stratum} != 0) so stratum "
             "cells do not straddle shards"
         )
-    if cfg.indirect_split:
+    if cfg.indirect_split and (cfg.height // n) % cfg.indirect_stride != 0:
         raise ValueError(
-            "indirect_split is not yet supported on the sharded frame "
-            "(the coarse-residual upsample needs a one-coarse-row halo "
-            "exchange); render multi-res frames single-chip"
+            "indirect_split needs shard rows divisible by indirect_stride "
+            f"({cfg.height // n} % {cfg.indirect_stride} != 0) so every "
+            "shard starts on a coarse-grid row (the PCG-prefix residual "
+            "identity keys on global coarse pixels)"
         )
 
     hist_spec = _history_spec(

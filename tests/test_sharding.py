@@ -446,6 +446,104 @@ def test_comm_ledger_1080p_ratio(cornell_tri_data):
 
 
 @requires_8
+def test_sharded_frame_multires_xla(cornell_tri_data):
+    """cfg.indirect_split on the sharded XLA frame: the coarse grid rows
+    shard with the slab and the upsampler's next-coarse-row shift rides a
+    1-coarse-row halo exchange -- numerically equal to single-chip."""
+    cfg = dataclasses.replace(CFG, indirect_split=2, indirect_stride=2)
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    cam, light = Camera.default(), Light.default()
+    for _ in range(2):
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+@requires_8
+def test_sharded_frame_multires_gprimary_interactive_stack(cornell_tri_data):
+    """The full interactive estimator stack (indirect_split=1 stride 4 +
+    gbuffer_primary + RR + adaptive alpha -- the suite's
+    interactive_multires_gprimary row) sharded == single-chip on the XLA
+    path."""
+    cfg = dataclasses.replace(
+        CFG, height=64, indirect_split=1, indirect_stride=4,
+        gbuffer_primary=True, rr_start_bounce=2, adaptive_alpha=True,
+    )
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    cam, light = Camera.default(), Light.default()
+    for _ in range(2):
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+@requires_8
+def test_sharded_frame_multires_streamed(rng_np):
+    """Multi-res indirect on a beyond-SMEM scene takes the sharded
+    wavefront route (truncated full-res trace + sharded coarse tail) and
+    matches the single-chip Pallas frame within the same bounded
+    measure-zero tie-break budget as the plain streamed test."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
+        pathtrace as pt_mod,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Scene,
+        precompute_triangle_data,
+    )
+
+    cfg = RenderConfig(
+        width=128, height=64, max_bounces=3, wavelet_iterations=3,
+        backend="pallas", indirect_split=1, indirect_stride=2,
+        gbuffer_primary=True,
+    )
+    td = precompute_triangle_data(
+        Scene.from_arrays(*procedural.subdivided_cornell(12))
+    )
+    assert pt_mod.trace_needs_streaming(td)  # the route under test
+
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(td, cfg, mesh)
+    hist_ref = frame_mod.init_history(td, cfg)
+    cam, light = Camera.default(), Light.default()
+    for _ in range(2):
+        rgb_s, hist_s = sharded(td, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            td, cam, light, hist_ref, cfg
+        )
+    a, b = np.asarray(rgb_s), np.asarray(rgb_ref)
+    assert np.isfinite(a).all()
+    mismatched = (np.abs(a - b) > 1e-6 + 1e-5 * np.abs(b)).any(axis=-1)
+    assert mismatched.mean() <= 5e-4, f"{mismatched.sum()} pixels differ"
+
+
+def test_sharded_multires_stride_validation():
+    # 48 / 8 = 6 rows per shard, not divisible by stride 4
+    cfg = dataclasses.replace(CFG, indirect_split=1, indirect_stride=4)
+    with pytest.raises(ValueError, match="indirect_stride"):
+        frame_sharded.make_sharded_frame(
+            cfg, sharding.make_mesh(min(8, len(jax.devices())))
+        )
+
+
+@requires_8
 def test_sharded_frame_gbuffer_primary(cornell_tri_data):
     """cfg.gbuffer_primary on the sharded frame: the per-slab G-buffer
     seed keeps the sharded render numerically equal to the single-chip
