@@ -40,8 +40,10 @@ def ground_truth(tri_data, camera, light, cfg, total_spp: int):
         cfg, variance_guided=False, adaptive_alpha=False,
         demodulate_albedo=False, path_gradient=False,
         # estimator-bias fields forced off: the truth is always the
-        # unbiased full-resolution estimator
-        indirect_split=0, truncate_radiance=False,
+        # unbiased full-resolution jittered estimator (gbuffer_primary has
+        # no effect without a primary argument; normalized so seeded and
+        # unseeded modes share one cached truth)
+        indirect_split=0, truncate_radiance=False, gbuffer_primary=False,
     )
     key = (cfg, total_spp,
            np.asarray(camera.position).tobytes(),
@@ -263,6 +265,15 @@ def main():
         "--indirect split -- total bias vs the jittered truth",
     )
     parser.add_argument(
+        "--multires-sweep", action="store_true",
+        help="measure the shipped multi-res indirect points in one process "
+        "(shared truth cache): variance-guided baseline, split@2 stride 2, "
+        "split@2 stride 4, split@1 stride 4, split@1 stride 4 + G-buffer "
+        "primaries, and the full interactive estimator stack "
+        "(max_bounces=8 + RR@2 + split@1 stride 4 + primaries). Honors "
+        "--size/--spp/--frames/--orbit.",
+    )
+    parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend"
     )
     args = parser.parse_args()
@@ -272,6 +283,62 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.multires_sweep:
+        # VERDICT r4 item 2: the shipped (split, stride) points, measured
+        # against the same full-res truth in one process. Rows at the
+        # default bounce cap isolate the split's bias next to the
+        # variance-guided bar; the final rows are the production
+        # interactive estimator (suite row
+        # ..._interactive_multires_gprimary_nonparity).
+        points = [
+            ("variance-guided baseline", {}),
+            ("indirect split@2 stride 2", dict(indirect_split=2)),
+            ("indirect split@2 stride 4",
+             dict(indirect_split=2, indirect_stride=4)),
+            ("indirect split@1 stride 4",
+             dict(indirect_split=1, indirect_stride=4)),
+            ("indirect split@1 stride 4 + G-buffer primaries",
+             dict(indirect_split=1, indirect_stride=4,
+                  gbuffer_primary=True)),
+            ("interactive stack mb8 RR@2 split@1 stride 4 + primaries",
+             dict(indirect_split=1, indirect_stride=4,
+                  gbuffer_primary=True, max_bounces=8, rr_start_bounce=2)),
+        ]
+        for label, kw in points:
+            stats = run(
+                args.size, args.spp, args.frames, True,
+                kw.pop("rr_start_bounce", 0),
+                width=args.width, height=args.height, orbit=args.orbit,
+                indirect_stride=kw.pop("indirect_stride", 2),
+                **kw,
+            )
+            improvement = stats["rmse_noisy_1spp"] / max(
+                stats["rmse_denoised"], 1e-12
+            )
+            if args.orbit:
+                label += f" (orbit {args.orbit:g} rad/frame)"
+            print(
+                json.dumps(
+                    {
+                        "metric": (
+                            f"denoised rMSE vs {args.spp}-spp reference, "
+                            f"{args.width or args.size}x"
+                            f"{args.height or args.size} Cornell "
+                            f"(clamped [0,1]), {label}"
+                        ),
+                        "value": round(stats["rmse_denoised"], 6),
+                        "unit": "rmse",
+                        "noisy_1spp_rmse": round(stats["rmse_noisy_1spp"], 6),
+                        "improvement_factor": round(improvement, 2),
+                    }
+                )
+            )
+            print(
+                f"[{label}] denoised {stats['rmse_denoised']:.4f} vs noisy "
+                f"{stats['rmse_noisy_1spp']:.4f} ({improvement:.1f}x)",
+                file=sys.stderr,
+            )
+        return
     modes = [(False, 0, False, False, False, False, 0)] if args.skip_variance else [
         (False, 0, False, False, False, False, 0),
         (True, 0, False, False, False, False, 0),

@@ -183,8 +183,11 @@ class RenderConfig:
     # full-resolution trace becomes traversal-free). Primary AA jitter is
     # disabled (raster-G-buffer semantics, the standard SVGF-era split);
     # the jitter draws still advance the PCG stream, so the output is
-    # bit-identical to a full trace with aa_sigma=0. Incompatible with
-    # nee (the bounce-0 shadow ray would itself need a traversal).
+    # bit-identical to a full trace with aa_sigma=0. Composes with nee:
+    # the bounce-0 NEE shadow rays run as a dedicated occlusion-only
+    # wavefront segment (origins = primary hits, directions into the
+    # light cone -- maximally coherent; ops/pallas/wavefront.py
+    # _shadow_kernel), so the best-quality and best-perf levers combine.
     gbuffer_primary: bool = False
     indirect_stride: int = 2         # coarse grid stride (2 -> 1/4 rays)
     indirect_sigma_z: float = 0.02   # depth edge stop of the upsampler
@@ -270,12 +273,6 @@ class RenderConfig:
                 raise ValueError("indirect_sigma_z must be > 0")
             if self.indirect_normal_pow < 0:
                 raise ValueError("indirect_normal_pow must be >= 0")
-        if self.gbuffer_primary and self.nee:
-            raise ValueError(
-                "gbuffer_primary is incompatible with nee (the bounce-0 "
-                "NEE shadow ray needs a scene traversal, which is exactly "
-                "what the G-buffer seed removes)"
-            )
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto, xla or pallas")
 

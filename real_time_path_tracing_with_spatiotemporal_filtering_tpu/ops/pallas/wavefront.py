@@ -484,6 +484,56 @@ def _wavefront_kernel(
     o_al[:] = alive_i
 
 
+def _shadow_kernel(
+    fparams_ref, table_ref, caabb_ref, saabb_ref, *refs,
+    cfg, num_clusters, csize, num_supers, ssize, hdr_lanes=False,
+):
+    """Occlusion-only segment: the bounce-0 NEE shadow walk for
+    cfg.nee + cfg.gbuffer_primary.
+
+    The G-buffer seed deletes the full-res bounce-0 traversal segment, but
+    the bounce-0 vertex's NEE shadow ray still needs the scene; its
+    geometry is maximally coherent (every origin is a primary hit, every
+    direction points into the light's cone), so a dedicated streamed walk
+    is far cheaper than the bounce-0 segment the seed removed. Per lane:
+    origin, light-sample direction, best capped at the sphere-entry
+    distance (``cap``; 0 for lanes that sampled nothing) -- ANY commit
+    means occluded. One int32 occlusion plane out; no shading."""
+    (ox_r, oy_r, oz_r, wx_r, wy_r, wz_r, cap_r, mk_r) = refs[:8]
+    o_occ = refs[8]
+    bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1 = refs[9:16]
+    hdr = tuple(refs[16:20]) if hdr_lanes else None
+    inv_diam = fparams_ref[0]
+    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+    wx, wy, wz = wx_r[:], wy_r[:], wz_r[:]
+    mask = mk_r[:] != 0
+
+    def live(occ0):
+        zero = jnp.zeros_like(ox)
+        init = (
+            cap_r[:], jnp.zeros_like(occ0),
+            zero, zero, zero, zero, zero, zero,
+        )
+
+        def row(buf, j, s2):
+            return _pair_test(buf, j, ox, oy, oz, wx, wy, wz, s2, cfg)
+
+        o_s = _ordered_stream_loop(
+            table_ref, caabb_ref, saabb_ref,
+            num_clusters, csize, num_supers, ssize,
+            ox, oy, oz, wx, wy, wz, mask, inv_diam,
+            row, init,
+            bins_ref, ids_ref, cnt_ref, buf0, buf1, sem0, sem1,
+            hdr=hdr,
+        )
+        return o_s[1]
+
+    # whole-tile skip: tiles with no sampling lane exit immediately
+    o_occ[:] = jax.lax.cond(
+        jnp.any(mask), live, lambda a: a, jnp.zeros_like(mk_r[:])
+    )
+
+
 # Segments after which the surviving rays are re-sorted by coherence key.
 # Segment 1 is where directions first scatter (primary rays are generated
 # coherent); later re-sorts re-compact as terminations accumulate.
@@ -791,6 +841,48 @@ def _wavefront_core(
         )(*args, *planes)
         return tuple(outs)
 
+    def run_shadow(planes8):
+        """The bounce-0 NEE shadow segment (_shadow_kernel) over 8 planes
+        (o.xyz, w.xyz, cap, mask); returns the int32 occlusion plane."""
+        kernel = functools.partial(
+            _shadow_kernel, cfg=cfg,
+            num_clusters=num_clusters, csize=csize,
+            num_supers=num_supers, ssize=ssize, hdr_lanes=hdr_lanes,
+        )
+        smem_rows = csize if hdr_lanes else csize + nsub_for(csize)
+        scratch = [
+            pltpu.SMEM((num_clusters,), jnp.int32),
+            pltpu.SMEM((num_clusters,), jnp.int32),
+            pltpu.SMEM((NBINS,), jnp.int32),
+            pltpu.SMEM((smem_rows, 128), f32),
+            pltpu.SMEM((smem_rows, 128), f32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        if hdr_lanes:
+            scratch += [
+                pltpu.VMEM((HDR_ROWS, 128), f32),
+                pltpu.VMEM((HDR_ROWS, 128), f32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        fparams_s = jnp.asarray(inv_diam, jnp.float32).reshape(1)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs + [plane_spec] * 8,
+            out_specs=plane_spec,
+            out_shape=jax.ShapeDtypeStruct(plane_shape, jnp.int32),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(fparams_s, table, caabb_flat, saabb_flat, *planes8)
+
     def _plane_key(ops):
         return _sort_key(
             ops[0], ops[1], ops[2], ops[3], ops[4], ops[5], ops[13],
@@ -881,12 +973,34 @@ def _wavefront_core(
 
                 o0 = jnp.broadcast_to(cam, (n, 3))
                 d0 = jnp.stack([ddx, ddy, ddz], axis=-1)
-                o1, d1, acc1, res1, alive1, state1 = pt_xla.primary_carry(
+                carry0 = pt_xla.primary_carry(
                     o0, d0, state, prim[0], jnp.stack(prim[1:4], axis=-1),
                     jnp.stack(prim[4:7], axis=-1),
                     jnp.stack(prim[7:10], axis=-1),
                     jnp.asarray(light.position, f32), hdr, cfg,
+                    defer_nee_shadow=cfg.nee,
                 )
+                o1, d1, acc1, res1, alive1, state1 = carry0[:6]
+                if cfg.nee:
+                    # bounce-0 NEE occlusion: the deferred shadow rays
+                    # (origins = primary hits, directions into the light
+                    # cone -- maximally coherent) walk the streamed scene
+                    # in a dedicated occlusion-only segment; banked
+                    # contributions land where the walk commits nothing.
+                    w_l, s_cap, bank, nmask = carry0[6]
+                    nmask = nmask & in_image
+                    s_cap = jnp.where(nmask, s_cap, jnp.float32(0.0))
+                    shadow_planes = tuple(
+                        p.reshape(plane_shape)
+                        for p in (
+                            o1[:, 0], o1[:, 1], o1[:, 2],
+                            w_l[:, 0], w_l[:, 1], w_l[:, 2],
+                            s_cap, nmask.astype(jnp.int32),
+                        )
+                    )
+                    occ = run_shadow(shadow_planes).reshape(n)
+                    lit = nmask & (occ == 0)
+                    res1 = res1 + jnp.where(lit[..., None], bank, 0.0)
                 planes = tuple(
                     p.reshape(plane_shape)
                     for p in (

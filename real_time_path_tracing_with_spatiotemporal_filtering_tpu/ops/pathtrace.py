@@ -36,7 +36,8 @@ from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
 
 def bounce_step(segment, o, d, accum, result, alive, state,
                 rec_hit, rec_t, hit_pos, n_geo, albedo,
-                light_pos, light_color_hdr, cfg, tri_data=None):
+                light_pos, light_color_hdr, cfg, tri_data=None,
+                defer_nee_shadow=False):
     """One bounce's light/shading/termination given the nearest-hit record.
 
     Pure code motion out of :func:`trace_paths`'s loop body so the same
@@ -47,6 +48,15 @@ def bounce_step(segment, o, d, accum, result, alive, state,
     attributes; ``tri_data`` is only required for cfg.nee (the shadow ray
     needs the scene). Returns the next (o, d, accum, result, alive, state)
     carry.
+
+    ``defer_nee_shadow`` (cfg.nee only): skip the dense shadow-occlusion
+    test and instead return the sampled shadow ray as a 7th carry element
+    ``(w_l, s_t, bank, mask)`` -- direction, sphere-entry distance (the
+    walk's best cap), the banked contribution if unoccluded, and the lanes
+    that sampled. The wavefront tracer resolves occlusion with a streamed
+    shadow walk (ops/pallas/wavefront.py) instead of the O(pixels x
+    triangles) dense test, which is what lets cfg.nee compose with
+    cfg.gbuffer_primary on HBM-streamed scenes.
     """
     light_hit, light_t = intersect.ray_sphere(
         o, d, light_pos, cfg.light_radius
@@ -128,24 +138,35 @@ def bounce_step(segment, o, d, accum, result, alive, state,
             + (sin_t * jnp.sin(phi))[..., None] * bitang
         )
         cos_x = jnp.sum(n_ff * w_l, axis=-1)
-        rec_s = intersect.nearest_hit(
-            tri_data.planes, new_o, w_l, t_max=cfg.t_max,
-            eps=cfg.intersect_eps,
-        )
         s_hit, s_t = intersect.ray_sphere(
             new_o, w_l, light_pos, cfg.light_radius
         )
-        lit = (
-            tri_hit
-            & (cos_x > 0.0)
-            & s_hit
-            & (~rec_s.hit | (s_t < rec_s.t))
-        )
         omega = rng_ops.TWO_PI * (1.0 - cos_max)
         gain = cos_x * omega * jnp.float32(1.0 / 3.14159265)
-        result = result + jnp.where(
-            lit[..., None], accum * light_color_hdr * gain[..., None], 0.0
-        )
+        if defer_nee_shadow:
+            nee_mask = tri_hit & (cos_x > 0.0) & s_hit
+            nee_bank = jnp.where(
+                nee_mask[..., None],
+                accum * light_color_hdr * gain[..., None],
+                0.0,
+            )
+            nee_info = (w_l, s_t, nee_bank, nee_mask)
+        else:
+            rec_s = intersect.nearest_hit(
+                tri_data.planes, new_o, w_l, t_max=cfg.t_max,
+                eps=cfg.intersect_eps,
+            )
+            lit = (
+                tri_hit
+                & (cos_x > 0.0)
+                & s_hit
+                & (~rec_s.hit | (s_t < rec_s.t))
+            )
+            result = result + jnp.where(
+                lit[..., None],
+                accum * light_color_hdr * gain[..., None],
+                0.0,
+            )
 
     # --- sky termination (raytrace.comp.glsl:263-268)
     sky_term = alive & ~light_hit & ~rec_hit
@@ -181,6 +202,8 @@ def bounce_step(segment, o, d, accum, result, alive, state,
         tri_hit = tri_hit & survive
 
     alive = tri_hit
+    if cfg.nee and defer_nee_shadow:
+        return o, d, accum, result, alive, state, nee_info
     return o, d, accum, result, alive, state
 
 
@@ -245,7 +268,8 @@ def trace_paths(tri_data, light_pos, light_color_hdr, origins, dirs, rng_state, 
 
 
 def primary_carry(origins, dirs, state, vis, world_pos, n_geo, albedo,
-                  light_pos, light_color_hdr, cfg):
+                  light_pos, light_color_hdr, cfg, tri_data=None,
+                  defer_nee_shadow=False):
     """Bounce-0 carry from G-buffer attributes (cfg.gbuffer_primary).
 
     The visibility pass already ray-traced primary visibility with the
@@ -263,6 +287,12 @@ def primary_carry(origins, dirs, state, vis, world_pos, n_geo, albedo,
 
     Returns the (o, d, accum, result, alive, state) carry after bounce 0,
     to be fed to :func:`trace_paths` with start_segment=1.
+
+    With cfg.nee the bounce-0 vertex samples the light like every other
+    vertex: pass ``tri_data`` for the dense shadow-occlusion test (the
+    XLA path) or ``defer_nee_shadow=True`` to get the sampled shadow ray
+    back as a 7th carry element for a streamed occlusion walk (the
+    wavefront path) -- see :func:`bounce_step`.
     """
     rec_hit = vis > 0
     rec_t = jnp.sum((world_pos - origins) * dirs, axis=-1)
@@ -273,7 +303,8 @@ def primary_carry(origins, dirs, state, vis, world_pos, n_geo, albedo,
         jnp.ones(origins.shape[:-1], bool),
         state,
         rec_hit, rec_t, world_pos, n_geo, albedo,
-        light_pos, light_color_hdr, cfg,
+        light_pos, light_color_hdr, cfg, tri_data=tri_data,
+        defer_nee_shadow=defer_nee_shadow,
     )
 
 
@@ -327,7 +358,7 @@ def trace_pixels(tri_data, camera_pos, light, frame_idx, px, py, cfg, rotation=N
                 vis, world_pos, n_geo, albedo = primary
                 carry = primary_carry(
                     origins, dirs, state_s, vis, world_pos, n_geo, albedo,
-                    light.position, light_color_hdr, cfg,
+                    light.position, light_color_hdr, cfg, tri_data=tri_data,
                 )
                 traced = trace_paths(
                     tri_data, light.position, light_color_hdr, origins,

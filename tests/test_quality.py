@@ -117,3 +117,26 @@ def test_quality_bar_nee():
     improvement = stats["rmse_noisy_1spp"] / max(denoised, 1e-12)
     assert denoised <= 0.06, f"denoised rMSE regressed: {denoised:.4f}"
     assert improvement >= 4.0, f"improvement regressed: {improvement:.2f}x"
+
+
+def test_quality_bar_multires_interactive_stack():
+    """The production interactive estimator (the 141.5 ms suite row's
+    levers: multi-res indirect split@1 stride 4 + G-buffer primaries +
+    max_bounces=8 + RR@2). Measured 0.2255 denoised / 1.61x at 128px
+    (512-spp truth, 32 frames, 2026-08-21; full sweep in STATUS.md:
+    s2x2 0.1785, s2x4 0.2005, s1x4 0.2169, s1x4+gp 0.2170 vs
+    variance-guided full-res 0.1547). The bias is real (+46% over the
+    full-res bar) and this bar pins it: an upsampler regression FAILS CI
+    instead of drifting a doc number. Headroom for the CI's 192-spp
+    truth and 20-frame accumulation."""
+    from benchmarks.quality import run
+
+    stats = run(
+        size=128, spp=192, frames=20, variance_guided=True,
+        rr_start_bounce=2, max_bounces=8, indirect_split=1,
+        indirect_stride=4, gbuffer_primary=True,
+    )
+    denoised = stats["rmse_denoised"]
+    improvement = stats["rmse_noisy_1spp"] / max(denoised, 1e-12)
+    assert denoised <= 0.25, f"denoised rMSE regressed: {denoised:.4f}"
+    assert improvement >= 1.4, f"improvement regressed: {improvement:.2f}x"
