@@ -43,7 +43,8 @@ def ground_truth(tri_data, camera, light, cfg, total_spp: int):
         # unbiased full-resolution jittered estimator (gbuffer_primary has
         # no effect without a primary argument; normalized so seeded and
         # unseeded modes share one cached truth)
-        indirect_split=0, truncate_radiance=False, gbuffer_primary=False,
+        indirect_split=0, indirect_jitter=False, truncate_radiance=False,
+        gbuffer_primary=False,
     )
     key = (cfg, total_spp,
            np.asarray(camera.position).tobytes(),
@@ -85,6 +86,7 @@ def run(
     indirect_stride: int = 2,
     max_bounces: int = 32,
     gbuffer_primary: bool = False,
+    indirect_jitter: bool = False,
 ):
     """One quality measurement. ``orbit`` (radians/frame): the camera
     orbits the scene center during accumulation and the final frame is
@@ -122,6 +124,7 @@ def run(
         # full-res truth; the truth normalizes these away)
         indirect_split=indirect_split,
         indirect_stride=indirect_stride,
+        indirect_jitter=indirect_jitter,
         max_bounces=max_bounces,
         # G-buffer-seeded primaries (no primary AA jitter); the truth
         # keeps the jittered reference estimator, so this row measures
@@ -303,6 +306,16 @@ def main():
             ("interactive stack mb8 RR@2 split@1 stride 4 + primaries",
              dict(indirect_split=1, indirect_stride=4,
                   gbuffer_primary=True, max_bounces=8, rr_start_bounce=2)),
+            # the same points with the per-frame grid-phase jitter
+            # (cfg.indirect_jitter): the EMA integrates over phases, so
+            # the static low-pass bias should shrink toward temporal noise
+            ("indirect split@1 stride 4 + jitter",
+             dict(indirect_split=1, indirect_stride=4,
+                  indirect_jitter=True)),
+            ("interactive stack + jitter",
+             dict(indirect_split=1, indirect_stride=4,
+                  gbuffer_primary=True, max_bounces=8, rr_start_bounce=2,
+                  indirect_jitter=True)),
         ]
         for label, kw in points:
             stats = run(

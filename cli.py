@@ -64,6 +64,12 @@ def main() -> None:
     parser.add_argument("--indirect-stride", type=int, default=2,
                         help="coarse-grid stride of --indirect-split "
                         "(2 -> 1/4 of the indirect rays)")
+    parser.add_argument("--indirect-jitter", action="store_true",
+                        help="rotate the coarse grid's phase per frame "
+                        "(interleaved sampling: the temporal EMA "
+                        "integrates over phases, shrinking the split's "
+                        "low-pass bias; needs width/height divisible by "
+                        "the stride)")
     parser.add_argument("--gbuffer-primary", action="store_true",
                         help="seed bounce 0 from the G-buffer instead of "
                         "re-tracing it (non-parity: disables primary AA "
@@ -127,6 +133,7 @@ def main() -> None:
         path_gradient=args.path_gradient,
         indirect_split=args.indirect_split,
         indirect_stride=args.indirect_stride,
+        indirect_jitter=args.indirect_jitter,
         gbuffer_primary=args.gbuffer_primary,
     )
     if args.scene:

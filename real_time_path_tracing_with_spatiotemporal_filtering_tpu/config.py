@@ -192,6 +192,16 @@ class RenderConfig:
     indirect_stride: int = 2         # coarse grid stride (2 -> 1/4 rays)
     indirect_sigma_z: float = 0.02   # depth edge stop of the upsampler
     indirect_normal_pow: int = 8     # normal edge stop exponent (2^n squarings)
+    # Rotate the coarse grid's (oy, ox) phase every frame (a deterministic
+    # PCG hash of the frame index, ops/multires.grid_phase): the fixed-grid
+    # split low-passes indirect light at the stride scale PERMANENTLY;
+    # with jitter each pixel becomes an exact-residual coarse sample every
+    # ~stride^2 frames and the temporal EMA integrates over phases, so the
+    # static bias turns into zero-mean temporal variation the filter
+    # absorbs (interleaved sampling, Keller & Heidrich 2001). Costs
+    # nothing per frame; requires width/height divisible by the stride.
+    # Off by default (measured bars for the fixed grid stay pinned).
+    indirect_jitter: bool = False
     # Alive-at-max_bounces paths return their banked radiance instead of
     # the reference's loop fall-through (bare albedo product,
     # raytrace.comp.glsl:270). Required by the multi-res truncated trace
@@ -273,6 +283,17 @@ class RenderConfig:
                 raise ValueError("indirect_sigma_z must be > 0")
             if self.indirect_normal_pow < 0:
                 raise ValueError("indirect_normal_pow must be >= 0")
+            if self.indirect_jitter and (
+                self.width % self.indirect_stride
+                or self.height % self.indirect_stride
+            ):
+                raise ValueError(
+                    "indirect_jitter needs width and height divisible by "
+                    "indirect_stride (the phased coarse grid must have a "
+                    "static shape at every phase)"
+                )
+        elif self.indirect_jitter:
+            raise ValueError("indirect_jitter requires indirect_split >= 1")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto, xla or pallas")
 

@@ -38,15 +38,56 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
     pathtrace,
+    rng as rng_ops,
 )
 
 # Throughput demodulation guard. Channels with |thru| below this carry a
 # residual of at most thru * L_max ~ 1e-5 (the light's HDR intensity
 # bounds the tail radiance), so the clamped division stays harmless.
 _THRU_EPS = 1e-6
+
+# Decorrelates the per-frame grid-phase PCG stream from the pixel streams
+# (which key on pixel coordinates) and from pathgrad's stratum offsets
+# (batch 0x9E3779B9).
+_JITTER_BATCH = np.uint32(0x85EBCA6B)
+
+
+def grid_phase(frame_idx, stride: int):
+    """Per-frame coarse-grid phase (oy, ox) in [0, stride)^2
+    (cfg.indirect_jitter): a deterministic PCG hash of the frame index.
+
+    With a fixed phase the multi-res split low-passes indirect light at
+    the stride scale everywhere, permanently. Rotating the phase each
+    frame turns that static bias into zero-mean temporal variation: each
+    pixel is an exact-residual coarse sample every ~stride^2 frames in
+    expectation, and the temporal EMA downstream integrates over phases
+    -- the classic interleaved-sampling argument (Keller/Heidrich 2001),
+    applied to the residual grid. Bit-deterministic (pure function of the
+    frame index; no wall-clock inputs)."""
+    z = jnp.zeros((), jnp.int32)
+    state = rng_ops.seed_per_pixel(z, z, frame_idx, _JITTER_BATCH)
+    state, u1 = rng_ops.pcg_step(state)
+    _, u2 = rng_ops.pcg_step(state)
+    s = jnp.int32(stride)
+    oy = jnp.minimum((u1 * stride).astype(jnp.int32), s - 1)
+    ox = jnp.minimum((u2 * stride).astype(jnp.int32), s - 1)
+    return oy, ox
+
+
+def _subsample(t, s: int, phase):
+    """``t[oy::s, ox::s]`` for a traced phase with a static output shape
+    (requires s | H and s | W, validated by the config)."""
+    if phase is None:
+        return t[::s, ::s]
+    oy, ox = phase
+    h, w = t.shape
+    t4 = t.reshape(h // s, s, w // s, s)
+    t4 = jax.lax.dynamic_index_in_dim(t4, oy, axis=1, keepdims=False)
+    return jax.lax.dynamic_index_in_dim(t4, ox, axis=2, keepdims=False)
 
 
 def coarse_grid(height: int, width: int, stride: int):
@@ -68,13 +109,26 @@ def _shift_next(c, axis):
     return jnp.concatenate([nxt, last], axis=axis)
 
 
-def _expand(c, stride, out_h, out_w):
+def _expand(c, stride, out_h, out_w, phase=None):
     """Nearest (hold) expansion of a coarse plane: out[y, x] =
-    c[y // s, x // s]. jnp.repeat of a static count lowers to broadcast +
-    reshape -- no gather."""
+    c[max(y - oy, 0) // s, max(x - ox, 0) // s] (phase (0, 0) reduces to
+    c[y // s, x // s]). jnp.repeat of a static count lowers to broadcast
+    + reshape -- no gather; the traced phase shift is a static-size
+    dynamic slice of an edge-padded plane."""
     if stride > 1:
         c = jnp.repeat(c, stride, axis=0)
         c = jnp.repeat(c, stride, axis=1)
+        if phase is not None:
+            oy, ox = phase
+            p = stride - 1
+            c = jnp.concatenate([jnp.repeat(c[:1], p, axis=0), c], axis=0)
+            c = jax.lax.dynamic_slice_in_dim(
+                c, p - oy, c.shape[0] - p, axis=0
+            )
+            c = jnp.concatenate([jnp.repeat(c[:, :1], p, axis=1), c], axis=1)
+            c = jax.lax.dynamic_slice_in_dim(
+                c, p - ox, c.shape[1] - p, axis=1
+            )
     return c[:out_h, :out_w]
 
 
@@ -94,7 +148,7 @@ def _int_pow(x, p: int):
 
 
 def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg,
-                       row_shift=None):
+                       row_shift=None, phase=None):
     """Joint-bilateral 2x2 tent upsample of coarse planes to full res.
 
     ``coarse_planes``: tuple of (Hc, Wc) planes (the demodulated residual
@@ -110,17 +164,24 @@ def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg,
     coarse row; globally edge-clamped), which makes the sharded upsample
     bitwise identical to the single-chip one. Note ``fy`` below uses the
     LOCAL row index mod stride -- valid under sharding because shard
-    offsets are validated to be multiples of the stride."""
+    offsets are validated to be multiples of the stride.
+
+    ``phase``: traced (oy, ox) coarse-grid offset (cfg.indirect_jitter);
+    pixels left of / above the first coarse sample edge-clamp to it
+    (fraction 0 at the clamp, so coarse pixels stay exact pass-throughs
+    at any phase)."""
     if row_shift is None:
         row_shift = lambda c: _shift_next(c, 0)  # noqa: E731
     s = cfg.indirect_stride
     h, w = guide_full[0].shape
-    fy = (
-        (jnp.arange(h, dtype=jnp.int32) % s).astype(jnp.float32) / jnp.float32(s)
-    )[:, None]
-    fx = (
-        (jnp.arange(w, dtype=jnp.int32) % s).astype(jnp.float32) / jnp.float32(s)
-    )[None, :]
+    if phase is None:
+        ys = jnp.arange(h, dtype=jnp.int32)
+        xs = jnp.arange(w, dtype=jnp.int32)
+    else:
+        ys = jnp.maximum(jnp.arange(h, dtype=jnp.int32) - phase[0], 0)
+        xs = jnp.maximum(jnp.arange(w, dtype=jnp.int32) - phase[1], 0)
+    fy = ((ys % s).astype(jnp.float32) / jnp.float32(s))[:, None]
+    fx = ((xs % s).astype(jnp.float32) / jnp.float32(s))[None, :]
     bilin = (
         (1.0 - fy) * (1.0 - fx),
         (1.0 - fy) * fx,
@@ -132,7 +193,7 @@ def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg,
         c01 = _shift_next(c, 1)
         c10 = row_shift(c)
         c11 = _shift_next(c10, 1)
-        return tuple(_expand(v, s, h, w) for v in (c, c01, c10, c11))
+        return tuple(_expand(v, s, h, w, phase=phase) for v in (c, c01, c10, c11))
 
     nxf, nyf, nzf, zf = guide_full
     guide_n = [four_neighbors(g) for g in guide_coarse]  # 4 x (4 planes)
@@ -172,22 +233,25 @@ def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg,
 
 
 def combine_planes(trunc_pl, thru_pl, full_c_pl, guide_full, cfg,
-                   row_shift=None):
+                   row_shift=None, phase=None):
     """Assemble the multi-res estimate from per-channel planes.
 
     trunc_pl / thru_pl: full-res (H, W) plane triples from the truncated
     trace; full_c_pl: coarse (Hc, Wc) plane triple of the full-length
     trace. Returns the (r, g, b) noisy planes. ``row_shift``: see
-    :func:`bilateral_upsample` (the sharded frame's coarse-row halo)."""
+    :func:`bilateral_upsample` (the sharded frame's coarse-row halo).
+    ``phase``: the traced (oy, ox) grid offset the coarse trace used
+    (cfg.indirect_jitter)."""
     s = cfg.indirect_stride
-    thru_c = tuple(t[::s, ::s] for t in thru_pl)
+    thru_c = tuple(_subsample(t, s, phase) for t in thru_pl)
     resid = tuple(
-        (fc - t[::s, ::s]) / jnp.maximum(tc, jnp.float32(_THRU_EPS))
+        (fc - _subsample(t, s, phase)) / jnp.maximum(tc, jnp.float32(_THRU_EPS))
         for fc, t, tc in zip(full_c_pl, trunc_pl, thru_c)
     )
-    guide_coarse = tuple(g[::s, ::s] for g in guide_full)
+    guide_coarse = tuple(_subsample(g, s, phase) for g in guide_full)
     up = bilateral_upsample(
-        resid, guide_coarse, guide_full, cfg, row_shift=row_shift
+        resid, guide_coarse, guide_full, cfg, row_shift=row_shift,
+        phase=phase,
     )
     return tuple(t + u * th for t, u, th in zip(trunc_pl, up, thru_pl))
 
@@ -198,8 +262,11 @@ def _split_cfgs(cfg):
         max_bounces=cfg.indirect_split,
         truncate_radiance=True,
         indirect_split=0,
+        indirect_jitter=False,
     )
-    tail_cfg = dataclasses.replace(cfg, indirect_split=0)
+    tail_cfg = dataclasses.replace(
+        cfg, indirect_split=0, indirect_jitter=False
+    )
     return split_cfg, tail_cfg
 
 
@@ -227,9 +294,10 @@ def multires_noisy_xla(
     split_cfg, tail_cfg = _split_cfgs(cfg)
     s = cfg.indirect_stride
     h = cfg.height if rows is None else rows
+    phase = grid_phase(frame_idx, s) if cfg.indirect_jitter else None
     prim_c = None
     if primary is not None:
-        prim_c = tuple(p[::s, ::s] for p in primary)
+        prim_c = tuple(_subsample(p, s, phase) for p in primary)
     trunc, thru = pathtrace.path_trace_pass(
         tri_data, camera_pos, light, frame_idx, split_cfg,
         rotation=rotation, emit_throughput=True, primary=primary,
@@ -237,6 +305,9 @@ def multires_noisy_xla(
     )
     py_c, px_c = coarse_grid(h, cfg.width, cfg.indirect_stride)
     py_c = py_c + row_offset
+    if phase is not None:
+        py_c = py_c + phase[0]
+        px_c = px_c + phase[1]
     full_c = pathtrace.trace_pixels(
         tri_data, camera_pos, light, frame_idx, px_c, py_c, tail_cfg,
         rotation=rotation, primary=prim_c,
@@ -251,6 +322,7 @@ def multires_noisy_xla(
         guide_full,
         cfg,
         row_shift=row_shift,
+        phase=phase,
     )
     return jnp.stack(noisy, axis=-1)
 
@@ -279,10 +351,13 @@ def multires_noisy_wavefront(
     split_cfg, tail_cfg = _split_cfgs(cfg)
     s = cfg.indirect_stride
     h = cfg.height if rows is None else rows
+    phase = grid_phase(frame_idx, s) if cfg.indirect_jitter else None
     prim_full = prim_c = None
     if primary is not None:
         prim_full = tuple(p.reshape(-1) for p in primary)
-        prim_c = tuple(p[::s, ::s].reshape(-1) for p in primary)
+        prim_c = tuple(
+            _subsample(p, s, phase).reshape(-1) for p in primary
+        )
     trunc_pl, thru_pl = wf_mod.path_trace_wavefront(
         tri_data, camera_pos, light, frame_idx, split_cfg,
         interpret=interpret, planar=True, rotation=rotation,
@@ -291,6 +366,9 @@ def multires_noisy_wavefront(
     )
     py_c, px_c = coarse_grid(h, cfg.width, cfg.indirect_stride)
     py_c = py_c + row_offset
+    if phase is not None:
+        py_c = py_c + phase[0]
+        px_c = px_c + phase[1]
     full_c = wf_mod.trace_pixels_wavefront(
         tri_data, camera_pos, light, frame_idx, px_c, py_c, tail_cfg,
         rotation=rotation, interpret=interpret, primary_from=prim_c,
@@ -303,4 +381,5 @@ def multires_noisy_wavefront(
         guide_full,
         cfg,
         row_shift=row_shift,
+        phase=phase,
     )

@@ -452,6 +452,12 @@ def make_sharded_frame(
             "shard starts on a coarse-grid row (the PCG-prefix residual "
             "identity keys on global coarse pixels)"
         )
+    if cfg.indirect_jitter:
+        raise ValueError(
+            "indirect_jitter is not yet supported on the sharded frame "
+            "(the phased upsample needs a top coarse-row halo in addition "
+            "to the bottom one); render jittered multi-res single-chip"
+        )
 
     hist_spec = _history_spec(
         axis, cfg.variance_guided, cfg.accumulation_ramp, cfg.path_gradient

@@ -76,6 +76,7 @@ def build_config(args):
         # without the newer non-parity flags
         indirect_split=getattr(args, "indirect_split", 0),
         indirect_stride=getattr(args, "indirect_stride", 2),
+        indirect_jitter=getattr(args, "indirect_jitter", False),
         gbuffer_primary=getattr(args, "gbuffer_primary", False),
     )
 
@@ -169,6 +170,9 @@ def main() -> None:
                         "traced on a subsampled grid (non-parity; 0 = off)")
     parser.add_argument("--indirect-stride", type=int, default=2,
                         help="coarse-grid stride of --indirect-split")
+    parser.add_argument("--indirect-jitter", action="store_true",
+                        help="per-frame coarse-grid phase rotation "
+                        "(shrinks the split's low-pass bias)")
     parser.add_argument("--gbuffer-primary", action="store_true",
                         help="seed bounce 0 from the G-buffer (non-parity: "
                         "no primary AA jitter; streamed scenes only)")

@@ -165,6 +165,98 @@ def test_multires_coarse_pixels_exact(cornell_td):
     assert np.isfinite(noisy).all()
 
 
+def test_grid_phase_deterministic_and_varying():
+    """The per-frame coarse-grid phase (cfg.indirect_jitter) is a pure
+    function of the frame index, in range, and actually varies."""
+    phases = []
+    for f in range(16):
+        oy, ox = multires.grid_phase(jnp.int32(f), 4)
+        oy2, ox2 = multires.grid_phase(jnp.int32(f), 4)
+        assert int(oy) == int(oy2) and int(ox) == int(ox2)
+        assert 0 <= int(oy) < 4 and 0 <= int(ox) < 4
+        phases.append((int(oy), int(ox)))
+    assert len(set(phases)) > 4  # the rotation visits many phases
+
+
+def test_jitter_config_validation():
+    with pytest.raises(ValueError, match="indirect_jitter"):
+        RenderConfig(indirect_jitter=True)  # needs a split
+    with pytest.raises(ValueError, match="divisible"):
+        RenderConfig(
+            width=65, height=48, indirect_split=2, indirect_stride=4,
+            indirect_jitter=True, max_bounces=6,
+        )
+    RenderConfig(
+        width=64, height=48, indirect_split=2, indirect_stride=4,
+        indirect_jitter=True, max_bounces=6,
+    )
+
+
+def test_jittered_coarse_pixels_exact(cornell_td):
+    """With indirect_jitter the exact-residual pass-through moves to the
+    phased coarse pixels: at frame f's (oy, ox), noisy[oy::s, ox::s]
+    reconstructs the full-length trace (same PCG-prefix identity as the
+    fixed grid -- the phased samples are still real global pixels)."""
+    s = 2
+    cfg = dataclasses.replace(
+        CFG, indirect_split=2, indirect_stride=s, indirect_jitter=True,
+        max_bounces=6,
+    )
+    cam, light = Camera.default(), Light.default()
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+        gbuffer,
+    )
+
+    view, proj = frame_mod.camera_matrices(cam, cfg)
+    gbuf = gbuffer.visibility_pass(
+        cornell_td, cam.position, view, proj, cfg, rotation=cam.rotation
+    )
+    normal_img = cornell_td.lut_normals[gbuf.visibility.astype(jnp.int32)]
+    full = None
+    seen = set()
+    for f in (3, 4, 7):
+        oy, ox = map(int, multires.grid_phase(jnp.int32(f), s))
+        seen.add((oy, ox))
+        noisy = np.asarray(
+            multires.multires_noisy_xla(
+                cornell_td, cam.position, light, jnp.int32(f), cfg,
+                normal_img, gbuf.depth, rotation=cam.rotation,
+            )
+        )
+        full = np.asarray(
+            pathtrace.path_trace_pass(
+                cornell_td, cam.position, light, jnp.int32(f),
+                dataclasses.replace(
+                    cfg, indirect_split=0, indirect_jitter=False
+                ),
+                rotation=cam.rotation,
+            )
+        )
+        np.testing.assert_allclose(
+            noisy[oy::s, ox::s], full[oy::s, ox::s], rtol=0, atol=1e-4
+        )
+        assert np.isfinite(noisy).all()
+    assert len(seen) > 1  # the frames actually exercised distinct phases
+
+
+def test_jitter_frame_level_runs(cornell_td):
+    """Frame-level smoke: the jittered multi-res frame runs through the
+    public Renderer config on the XLA path and stays finite; consecutive
+    frames see different phases (outputs differ beyond estimator noise
+    at the coarse rows)."""
+    cfg = dataclasses.replace(
+        CFG, indirect_split=1, indirect_stride=4, indirect_jitter=True,
+        max_bounces=6,
+    )
+    hist = frame_mod.init_history(cornell_td, cfg)
+    cam, light = Camera.default(), Light.default()
+    for _ in range(3):
+        rgb, hist = frame_mod.render_frame_impl(
+            cornell_td, cam, light, hist, cfg
+        )
+        assert np.isfinite(np.asarray(rgb)).all()
+
+
 def test_bilateral_upsample_constant_preserved():
     """A constant residual upsamples to the same constant whatever the
     guides do (weights normalize)."""
