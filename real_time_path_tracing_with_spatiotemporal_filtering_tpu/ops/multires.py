@@ -109,26 +109,28 @@ def _shift_next(c, axis):
     return jnp.concatenate([nxt, last], axis=axis)
 
 
-def _expand(c, stride, out_h, out_w, phase=None):
+def _expand(c, stride, out_h, out_w, phase=None, top_row=None):
     """Nearest (hold) expansion of a coarse plane: out[y, x] =
-    c[max(y - oy, 0) // s, max(x - ox, 0) // s] (phase (0, 0) reduces to
-    c[y // s, x // s]). jnp.repeat of a static count lowers to broadcast
-    + reshape -- no gather; the traced phase shift is a static-size
-    dynamic slice of an edge-padded plane."""
+    c[floor((y - oy) / s), floor((x - ox) / s)], with the row index -1
+    resolved to ``top_row`` (default: edge clamp to c[0]; the sharded
+    frame passes the previous device's last coarse row) and the column
+    index -1 edge-clamped locally (columns are never sharded). Phase
+    (0, 0) reduces to c[y // s, x // s]. jnp.repeat of a static count
+    lowers to broadcast + reshape -- no gather; the traced phase shift is
+    one static-size dynamic slice of the padded plane."""
     if stride > 1:
-        c = jnp.repeat(c, stride, axis=0)
-        c = jnp.repeat(c, stride, axis=1)
         if phase is not None:
             oy, ox = phase
-            p = stride - 1
-            c = jnp.concatenate([jnp.repeat(c[:1], p, axis=0), c], axis=0)
-            c = jax.lax.dynamic_slice_in_dim(
-                c, p - oy, c.shape[0] - p, axis=0
+            top = c[:1] if top_row is None else top_row
+            c = jnp.concatenate([top, c], axis=0)
+            c = jnp.concatenate([c[:, :1], c], axis=1)
+            c = jnp.repeat(c, stride, axis=0)
+            c = jnp.repeat(c, stride, axis=1)
+            return jax.lax.dynamic_slice(
+                c, (stride - oy, stride - ox), (out_h, out_w)
             )
-            c = jnp.concatenate([jnp.repeat(c[:, :1], p, axis=1), c], axis=1)
-            c = jax.lax.dynamic_slice_in_dim(
-                c, p - ox, c.shape[1] - p, axis=1
-            )
+        c = jnp.repeat(c, stride, axis=0)
+        c = jnp.repeat(c, stride, axis=1)
     return c[:out_h, :out_w]
 
 
@@ -148,7 +150,7 @@ def _int_pow(x, p: int):
 
 
 def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg,
-                       row_shift=None, phase=None):
+                       row_pad=None, phase=None):
     """Joint-bilateral 2x2 tent upsample of coarse planes to full res.
 
     ``coarse_planes``: tuple of (Hc, Wc) planes (the demodulated residual
@@ -158,28 +160,33 @@ def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg,
     weight is 1 and the others 0, so the coarse values pass through
     unchanged.
 
-    ``row_shift``: optional callable c -> c[i+1]-along-rows with edge
-    clamp. Default is the local static shift; the row-sharded frame
-    passes a 1-coarse-row ICI halo exchange (the next device's first
-    coarse row; globally edge-clamped), which makes the sharded upsample
-    bitwise identical to the single-chip one. Note ``fy`` below uses the
-    LOCAL row index mod stride -- valid under sharding because shard
-    offsets are validated to be multiples of the stride.
+    ``row_pad``: optional callable c -> (Hc+2, Wc) plane padded with one
+    neighbor row on each side, edge-clamped at the global top/bottom.
+    Default is the local clamp pad; the row-sharded frame passes a
+    1-coarse-row ICI halo exchange (parallel.sharding.exchange_row_halo),
+    which makes the sharded upsample bitwise identical to the single-chip
+    one at any phase -- the top halo row is exactly the row index -1 the
+    phased expansion needs. Note ``fy`` below uses the LOCAL row index
+    mod stride -- valid under sharding because shard offsets are
+    validated to be multiples of the stride.
 
-    ``phase``: traced (oy, ox) coarse-grid offset (cfg.indirect_jitter);
-    pixels left of / above the first coarse sample edge-clamp to it
-    (fraction 0 at the clamp, so coarse pixels stay exact pass-throughs
-    at any phase)."""
-    if row_shift is None:
-        row_shift = lambda c: _shift_next(c, 0)  # noqa: E731
+    ``phase``: traced (oy, ox) coarse-grid offset (cfg.indirect_jitter).
+    Pixels above/left of the first coarse sample read equal neighbor
+    rows/cols (edge clamp on device 0; the true previous-device row
+    elsewhere), so coarse pixels stay exact pass-throughs at any
+    phase."""
+    if row_pad is None:
+        row_pad = lambda c: jnp.concatenate(  # noqa: E731
+            [c[:1], c, c[-1:]], axis=0
+        )
     s = cfg.indirect_stride
     h, w = guide_full[0].shape
     if phase is None:
         ys = jnp.arange(h, dtype=jnp.int32)
         xs = jnp.arange(w, dtype=jnp.int32)
     else:
-        ys = jnp.maximum(jnp.arange(h, dtype=jnp.int32) - phase[0], 0)
-        xs = jnp.maximum(jnp.arange(w, dtype=jnp.int32) - phase[1], 0)
+        ys = (jnp.arange(h, dtype=jnp.int32) - phase[0]) % s
+        xs = (jnp.arange(w, dtype=jnp.int32) - phase[1]) % s
     fy = ((ys % s).astype(jnp.float32) / jnp.float32(s))[:, None]
     fx = ((xs % s).astype(jnp.float32) / jnp.float32(s))[None, :]
     bilin = (
@@ -190,10 +197,24 @@ def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg,
     )
 
     def four_neighbors(c):
+        padded = row_pad(c)
+        top = padded[0:1]
+        c10 = padded[2:]
         c01 = _shift_next(c, 1)
-        c10 = row_shift(c)
         c11 = _shift_next(c10, 1)
-        return tuple(_expand(v, s, h, w, phase=phase) for v in (c, c01, c10, c11))
+        if phase is None:
+            return tuple(
+                _expand(v, s, h, w) for v in (c, c01, c10, c11)
+            )
+        # row index -1 of the base/east planes is the top halo row; for
+        # the south planes it is the base plane's own first row (c10[-1]
+        # = c[0] globally, on every device)
+        return (
+            _expand(c, s, h, w, phase, top_row=top),
+            _expand(c01, s, h, w, phase, top_row=_shift_next(top, 1)),
+            _expand(c10, s, h, w, phase, top_row=c[:1]),
+            _expand(c11, s, h, w, phase, top_row=_shift_next(c[:1], 1)),
+        )
 
     nxf, nyf, nzf, zf = guide_full
     guide_n = [four_neighbors(g) for g in guide_coarse]  # 4 x (4 planes)
@@ -233,12 +254,12 @@ def bilateral_upsample(coarse_planes, guide_coarse, guide_full, cfg,
 
 
 def combine_planes(trunc_pl, thru_pl, full_c_pl, guide_full, cfg,
-                   row_shift=None, phase=None):
+                   row_pad=None, phase=None):
     """Assemble the multi-res estimate from per-channel planes.
 
     trunc_pl / thru_pl: full-res (H, W) plane triples from the truncated
     trace; full_c_pl: coarse (Hc, Wc) plane triple of the full-length
-    trace. Returns the (r, g, b) noisy planes. ``row_shift``: see
+    trace. Returns the (r, g, b) noisy planes. ``row_pad``: see
     :func:`bilateral_upsample` (the sharded frame's coarse-row halo).
     ``phase``: the traced (oy, ox) grid offset the coarse trace used
     (cfg.indirect_jitter)."""
@@ -250,7 +271,7 @@ def combine_planes(trunc_pl, thru_pl, full_c_pl, guide_full, cfg,
     )
     guide_coarse = tuple(_subsample(g, s, phase) for g in guide_full)
     up = bilateral_upsample(
-        resid, guide_coarse, guide_full, cfg, row_shift=row_shift,
+        resid, guide_coarse, guide_full, cfg, row_pad=row_pad,
         phase=phase,
     )
     return tuple(t + u * th for t, u, th in zip(trunc_pl, up, thru_pl))
@@ -272,7 +293,7 @@ def _split_cfgs(cfg):
 
 def multires_noisy_xla(
     tri_data, camera_pos, light, frame_idx, cfg, normal_img, depth,
-    rotation=None, primary=None, row_offset=0, rows=None, row_shift=None,
+    rotation=None, primary=None, row_offset=0, rows=None, row_pad=None,
 ):
     """XLA-path multi-res noisy estimate: full-res truncated trace +
     coarse full-length trace, combined per combine_planes. ``normal_img``
@@ -285,7 +306,7 @@ def multires_noisy_xla(
     subsamples them on the coarse grid, which keeps the residual
     slice-exact).
 
-    ``row_offset``/``rows``/``row_shift``: row-sharded slab rendering
+    ``row_offset``/``rows``/``row_pad``: row-sharded slab rendering
     (parallel/frame_sharded.py). ``row_offset`` must be a multiple of the
     stride (validated by make_sharded_frame), so the local coarse slab is
     exactly this shard's rows of the global coarse grid and every PCG
@@ -321,7 +342,7 @@ def multires_noisy_xla(
         tuple(full_c[..., i] for i in range(3)),
         guide_full,
         cfg,
-        row_shift=row_shift,
+        row_pad=row_pad,
         phase=phase,
     )
     return jnp.stack(noisy, axis=-1)
@@ -330,7 +351,7 @@ def multires_noisy_xla(
 def multires_noisy_wavefront(
     tri_data, camera_pos, light, frame_idx, cfg, normal_planes, depth,
     rotation=None, interpret=False, primary=None,
-    row_offset=0, rows=None, row_shift=None,
+    row_offset=0, rows=None, row_pad=None,
 ):
     """Wavefront-path multi-res noisy estimate (HBM-streamed scenes).
     ``normal_planes``: (nx, ny, nz) planes from the fused geometry kernel;
@@ -342,7 +363,7 @@ def multires_noisy_wavefront(
     traversal kernel at all (bounce 0 comes off the G-buffer) and only
     the 1/stride^2 coarse tail traverses the scene.
 
-    ``row_offset``/``rows``/``row_shift``: row-sharded slab rendering --
+    ``row_offset``/``rows``/``row_pad``: row-sharded slab rendering --
     see :func:`multires_noisy_xla`."""
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops.pallas import (
         wavefront as wf_mod,
@@ -380,6 +401,6 @@ def multires_noisy_wavefront(
         tuple(full_c[..., i] for i in range(3)),
         guide_full,
         cfg,
-        row_shift=row_shift,
+        row_pad=row_pad,
         phase=phase,
     )

@@ -206,9 +206,7 @@ def _frame_shard(
                     rotation=camera.rotation, interpret=interpret,
                     primary=prim_planes,
                     row_offset=row_offset, rows=local_h,
-                    row_shift=lambda c: exchange_row_halo(
-                        c, 1, axis, ledger
-                    )[2:],
+                    row_pad=lambda c: exchange_row_halo(c, 1, axis, ledger),
                 )
                 noisy = jnp.stack(noisy_pl, axis=-1)
             else:
@@ -263,7 +261,7 @@ def _frame_shard(
                 tri_data, camera.position, light, frame_idx, cfg,
                 normal_img, gbuf.depth, rotation=camera.rotation,
                 primary=primary, row_offset=row_offset, rows=local_h,
-                row_shift=lambda c: exchange_row_halo(c, 1, axis, ledger)[2:],
+                row_pad=lambda c: exchange_row_halo(c, 1, axis, ledger),
             )
         else:
             noisy = pathtrace.path_trace_pass(
@@ -451,12 +449,6 @@ def make_sharded_frame(
             f"({cfg.height // n} % {cfg.indirect_stride} != 0) so every "
             "shard starts on a coarse-grid row (the PCG-prefix residual "
             "identity keys on global coarse pixels)"
-        )
-    if cfg.indirect_jitter:
-        raise ValueError(
-            "indirect_jitter is not yet supported on the sharded frame "
-            "(the phased upsample needs a top coarse-row halo in addition "
-            "to the bottom one); render jittered multi-res single-chip"
         )
 
     hist_spec = _history_spec(

@@ -541,6 +541,36 @@ def test_sharded_multires_stride_validation():
         frame_sharded.make_sharded_frame(
             cfg, sharding.make_mesh(min(8, len(jax.devices())))
         )
+@requires_8
+def test_sharded_frame_multires_jitter(cornell_tri_data):
+    """cfg.indirect_jitter on the sharded frame: the phased upsample's
+    row-index -1 resolves through the halo exchange's TOP row (the
+    previous device's last coarse row; edge clamp on device 0), so the
+    jittered sharded estimate matches single-chip across frames with
+    varying phases."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+        multires,
+    )
+
+    cfg = dataclasses.replace(
+        CFG, indirect_split=2, indirect_stride=2, indirect_jitter=True
+    )
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    cam, light = Camera.default(), Light.default()
+    phases = set()
+    for f in range(3):
+        phases.add(tuple(map(int, multires.grid_phase(jnp.int32(f), 2))))
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+    assert len(phases) > 1  # the frames exercised distinct phases
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+    )
 
 
 @requires_8
