@@ -31,7 +31,15 @@ def main():
         "--variants", type=str,
         default="base,s2x2,s2x4,s1x4",
         help="comma list: base | s<split>x<stride>; append 'g' for "
-        "gbuffer_primary (G-buffer-seeded bounce 0), e.g. s1x4g / baseg",
+        "gbuffer_primary (G-buffer-seeded bounce 0) and/or 'j' for "
+        "indirect_jitter (per-frame grid phase), e.g. s1x4g / s1x4gj",
+    )
+    parser.add_argument(
+        "--ramp", action="store_true",
+        help="use the recommended-quality temporal config (variance-"
+        "guided + accumulation ramp + adaptive alpha) instead of plain "
+        "adaptive alpha -- the config under which jitter recovers the "
+        "full-res quality bar (STATUS.md)",
     )
     args = parser.parse_args()
 
@@ -55,6 +63,7 @@ def main():
     base = ptsf.RenderConfig(
         width=1920, height=1080, max_bounces=8, rr_start_bounce=2,
         adaptive_alpha=True,
+        variance_guided=args.ramp, accumulation_ramp=args.ramp,
     )
 
     def orbit(r, i):
@@ -62,6 +71,9 @@ def main():
 
     for variant in args.variants.split(","):
         name = variant
+        jitter = name.endswith("j")
+        if jitter:
+            name = name[:-1]
         gprim = name.endswith("g")
         if gprim:
             name = name[:-1]
@@ -74,6 +86,8 @@ def main():
             )
         if gprim:
             cfg = dataclasses.replace(cfg, gbuffer_primary=True)
+        if jitter:
+            cfg = dataclasses.replace(cfg, indirect_jitter=True)
         ms = bench_renderer(
             lambda: ptsf.Renderer(scene, cfg), args.frames, orbit
         )

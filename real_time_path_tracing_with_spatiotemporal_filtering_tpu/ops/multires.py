@@ -80,12 +80,13 @@ def grid_phase(frame_idx, stride: int):
 
 def _subsample(t, s: int, phase):
     """``t[oy::s, ox::s]`` for a traced phase with a static output shape
-    (requires s | H and s | W, validated by the config)."""
+    (requires s | H and s | W, validated by the config). Trailing axes
+    (e.g. the XLA path's (H, W, 3) attribute arrays) pass through."""
     if phase is None:
         return t[::s, ::s]
     oy, ox = phase
-    h, w = t.shape
-    t4 = t.reshape(h // s, s, w // s, s)
+    h, w = t.shape[0], t.shape[1]
+    t4 = t.reshape((h // s, s, w // s, s) + t.shape[2:])
     t4 = jax.lax.dynamic_index_in_dim(t4, oy, axis=1, keepdims=False)
     return jax.lax.dynamic_index_in_dim(t4, ox, axis=2, keepdims=False)
 

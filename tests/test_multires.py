@@ -257,6 +257,35 @@ def test_jitter_frame_level_runs(cornell_td):
         assert np.isfinite(np.asarray(rgb)).all()
 
 
+def test_jitter_with_gbuffer_primary(cornell_td):
+    """jitter + gbuffer_primary: the phased coarse subsample also applies
+    to the (H, W, 3) primary attribute arrays of the XLA path (regression:
+    _subsample must pass trailing axes through). Frame-level, 2 frames."""
+    cfg = dataclasses.replace(
+        CFG, indirect_split=1, indirect_stride=4, indirect_jitter=True,
+        gbuffer_primary=True, max_bounces=6,
+    )
+    hist = frame_mod.init_history(cornell_td, cfg)
+    cam, light = Camera.default(), Light.default()
+    for _ in range(2):
+        rgb, hist = frame_mod.render_frame_impl(
+            cornell_td, cam, light, hist, cfg
+        )
+        assert np.isfinite(np.asarray(rgb)).all()
+    # and the seeded jittered estimate equals the aa_sigma=0 unseeded one
+    cfg0 = dataclasses.replace(cfg, gbuffer_primary=False, aa_sigma=0.0)
+    hist0 = frame_mod.init_history(cornell_td, cfg0)
+    hist1 = frame_mod.init_history(cornell_td, cfg)
+    for _ in range(2):
+        rgb0, hist0 = frame_mod.render_frame_impl(
+            cornell_td, cam, light, hist0, cfg0
+        )
+        rgb1, hist1 = frame_mod.render_frame_impl(
+            cornell_td, cam, light, hist1, cfg
+        )
+    np.testing.assert_array_equal(np.asarray(rgb1), np.asarray(rgb0))
+
+
 def test_bilateral_upsample_constant_preserved():
     """A constant residual upsamples to the same constant whatever the
     guides do (weights normalize)."""
