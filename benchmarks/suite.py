@@ -209,6 +209,23 @@ def suite_entries(quick: bool):
             )
         )
 
+    # 4c''. (extra, non-parity) the RECOMMENDED-QUALITY interactive
+    # config (round 5): 4c' + variance-guided + accumulation ramp +
+    # grid-phase jitter -- full quality (rMSE 0.1677 static AND orbit,
+    # vs 0.1547 full-res static bar; STATUS.md) measured at 149.3 ms on
+    # introduction.
+    if not quick:
+        cfg4iq = dataclasses.replace(
+            cfg4ig, indirect_jitter=True, variance_guided=True,
+            accumulation_ramp=True,
+        )
+        entries.append(
+            (
+                f"cornell_subdiv{mid_splits}_{32 * mid_splits * mid_splits}tris_1080p_interactive_recommended_nonparity",
+                run(mid, cfg4iq, interactive_frames, orbit),
+            )
+        )
+
     # 4d. (extra, non-parity) the SPONZA-SCALE interactive config: the
     # 247,808-tri stress scene with the same interactive levers as 4c
     # (max_bounces=8, RR@2, adaptive alpha) -- the scale row the <1 s
@@ -231,6 +248,20 @@ def suite_entries(quick: bool):
             (
                 f"cornell_subdiv{splits}_{32 * splits * splits}tris_1080p_interactive_multires_gprimary_nonparity",
                 run(big, cfg4sig, interactive_frames, orbit),
+            )
+        )
+
+    # 4d''. (extra, non-parity) Sponza-scale recommended-quality config
+    # (397.4 ms on introduction)
+    if not quick:
+        cfg4sq = dataclasses.replace(
+            cfg4sig, indirect_jitter=True, variance_guided=True,
+            accumulation_ramp=True,
+        )
+        entries.append(
+            (
+                f"cornell_subdiv{splits}_{32 * splits * splits}tris_1080p_interactive_recommended_nonparity",
+                run(big, cfg4sq, interactive_frames, orbit),
             )
         )
 
