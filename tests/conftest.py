@@ -25,6 +25,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_footprint():
+    """Free compiled executables at module boundaries.
+
+    A single pytest process accumulates hundreds of XLA:CPU executables;
+    after ~140 compile-heavy tests the NEXT big compile segfaults inside
+    XLA's compiler (reproduced deterministically at
+    test_pathgrad::test_trace_pixels_wavefront_matches_full_and_dense on
+    BOTH the round-4 and round-5 trees, twice each -- an upstream
+    JIT-resource exhaustion, not a framework bug; every test passes in
+    isolation). Dropping the jit caches per module keeps the resident
+    footprint bounded at the cost of a few cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def cornell_scene():
     from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
