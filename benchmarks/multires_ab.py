@@ -64,6 +64,7 @@ def main():
         width=1920, height=1080, max_bounces=8, rr_start_bounce=2,
         adaptive_alpha=True,
         variance_guided=args.ramp, accumulation_ramp=args.ramp,
+        ramp_reset_mode="normal" if args.ramp else "id",
     )
 
     def orbit(r, i):

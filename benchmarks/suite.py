@@ -217,7 +217,7 @@ def suite_entries(quick: bool):
     if not quick:
         cfg4iq = dataclasses.replace(
             cfg4ig, indirect_jitter=True, variance_guided=True,
-            accumulation_ramp=True,
+            accumulation_ramp=True, ramp_reset_mode="normal",
         )
         entries.append(
             (
@@ -256,7 +256,7 @@ def suite_entries(quick: bool):
     if not quick:
         cfg4sq = dataclasses.replace(
             cfg4sig, indirect_jitter=True, variance_guided=True,
-            accumulation_ramp=True,
+            accumulation_ramp=True, ramp_reset_mode="normal",
         )
         entries.append(
             (

@@ -76,6 +76,15 @@ def main() -> None:
                         "jitter; deletes the full-res bounce-0 traversal "
                         "on streamed scenes; needs a streamed scene or "
                         "--cpu)")
+    parser.add_argument("--ramp-reset-mode", choices=("id", "normal"),
+                        default="id",
+                        help="ramp history-rejection test: exact primitive "
+                        "ids or quantized surface normals ('normal' keeps "
+                        "accumulation on tessellated geometry in motion)")
+    parser.add_argument("--firefly-clamp", type=float, default=0.0,
+                        help="clamp noisy HDR radiance before filtering "
+                        "(0 = off/parity; 1-4 kills light-crossing "
+                        "fireflies, recommended with --indirect-split)")
     parser.add_argument("--out", default=None, help="output dir for PNG frames")
     parser.add_argument("--save-every", type=int, default=1)
     parser.add_argument("--move-camera", type=float, nargs=3, default=None,
@@ -135,6 +144,8 @@ def main() -> None:
         indirect_stride=args.indirect_stride,
         indirect_jitter=args.indirect_jitter,
         gbuffer_primary=args.gbuffer_primary,
+        ramp_reset_mode=args.ramp_reset_mode,
+        firefly_clamp=args.firefly_clamp,
     )
     if args.scene:
         scene = ptsf.Scene.from_arrays(*ptsf.load_obj(args.scene))

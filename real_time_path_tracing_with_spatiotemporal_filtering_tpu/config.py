@@ -132,6 +132,25 @@ class RenderConfig:
     ramp_alpha_min: float = 0.1      # alpha floor (SVGF uses 0.2 over RT)
     ramp_reset_lam: float = 0.5      # gradient level that resets history
     ramp_age_cap: float = 1024.0     # guards 1/N float behavior, not quality
+    # What counts as "the backprojected pixel saw a different surface":
+    #   "id"     -- exact primitive-id equality (previous visibility buffer;
+    #               the strictest test). On finely tessellated geometry a
+    #               moving camera lands almost every reprojection on a
+    #               DIFFERENT sub-triangle of the same flat surface, so
+    #               history resets every frame and accumulation dies
+    #               (measured: the 32k-subdivided interactive scene keeps
+    #               per-frame noise under orbit).
+    #   "normal" -- quantized-surface-normal equality (SVGF's actual
+    #               G-buffer consistency notion: surface attributes, not
+    #               ids; ops/atrous.normal_class). Flat tessellated
+    #               surfaces keep their history; orientation changes
+    #               (disocclusion by a differently-facing surface) still
+    #               reset; same-normal disocclusions fall to the temporal
+    #               gradient, like the reference's own (absent) test.
+    # "id" stays the default (bit-compatible with rounds 3-4); "normal" is
+    # the recommended mode for tessellated scenes and is part of the
+    # recommended interactive config (STATUS.md).
+    ramp_reset_mode: str = "id"
     # A-SVGF path-space gradient (Schied et al. 2018; ops/pathgrad.py).
     # The reference's temporal gradient Phong-shades the same world point
     # under both lights (temporalGradient.comp.glsl:104-171) -- dense but
@@ -210,6 +229,22 @@ class RenderConfig:
     # (NEE already accumulates and drops the quirk).
     truncate_radiance: bool = False
 
+    # --- firefly clamp (non-parity extension) ---
+    # Clamp each channel of the NOISY per-frame estimate before filtering
+    # and temporal accumulation. At 1 spp a path that crosses the HDR
+    # sphere light carries radiance ~30 (cfg.light_intensity); one such
+    # sample dominates its pixel for many frames (at ramp alpha 0.1 a
+    # 30x outlier stays >1 for ~12 frames), and the variance-normalized
+    # luminance weight -- unlike the parity fixed-sigma weight -- opens
+    # up around bright blobs, so the a-trous filter keeps instead of
+    # rejects them (worst with the multi-res upsampler, which smears one
+    # coarse firefly over stride^2 pixels). Standard SVGF-era practice is
+    # to clamp the HDR input; biased (loses energy above the clamp --
+    # the displayed image is clamped to [0,1] anyway) but it removes the
+    # speckle field entirely. 0 = off (reference parity: the reference
+    # feeds unclamped HDR radiance to its filter). Recommended: 1-4.
+    firefly_clamp: float = 0.0
+
     # --- interaction (main.cpp:68, 1119-1168) ---
     move_speed: float = 0.1
     light_x_wrap_lo: float = -20.0
@@ -260,6 +295,10 @@ class RenderConfig:
             )
         if self.accumulation_ramp and not (0.0 < self.ramp_alpha_min <= 1.0):
             raise ValueError("ramp_alpha_min must be in (0, 1]")
+        if self.ramp_reset_mode not in ("id", "normal"):
+            raise ValueError("ramp_reset_mode must be 'id' or 'normal'")
+        if self.firefly_clamp < 0.0:
+            raise ValueError("firefly_clamp must be >= 0 (0 = off)")
         if self.path_gradient and not (
             self.adaptive_alpha or self.accumulation_ramp
         ):

@@ -256,6 +256,43 @@ def accumulate_moments(
     return m, var
 
 
+def normal_class(normal, vis):
+    """Surface-consistency key from the quantized geometric normal
+    (cfg.ramp_reset_mode == "normal").
+
+    Exact primitive-id equality over-rejects on tessellated geometry: a
+    moving camera backprojects almost every pixel onto a DIFFERENT
+    sub-triangle of the same flat surface, so the ramp resets every frame
+    and temporal accumulation dies. This key instead bands each normal
+    component into 31 bins (~3.7 degrees) and packs them -- every
+    sub-triangle of a flat surface shares the exact normal, hence the
+    exact key, while differently-oriented surfaces (the disocclusion case
+    the id test exists for) still differ. Same-normal disocclusions fall
+    through to the temporal-gradient reset, as in the reference (which
+    has no consistency test at all). Pure elementwise math on planes the
+    geometry pass already produces -- no per-pixel table gathers.
+
+    ``normal``: (H, W, 3) array or (nx, ny, nz) plane tuple; ``vis``:
+    (H, W) visibility ids (primID + 1; 0 = background, which keys to the
+    distinct class 0). Returns an (H, W) float32 key plane (exact: keys
+    < 2^15 << 2^24)."""
+    if isinstance(normal, tuple):
+        nx, ny, nz = normal
+    else:
+        nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+
+    def q(c):
+        return jnp.clip(
+            ((c + jnp.float32(1.0)) * jnp.float32(15.5)).astype(jnp.int32),
+            0, 30,
+        )
+
+    key = (q(nx) * 31 + q(ny)) * 31 + q(nz)
+    return jnp.where(
+        vis > 0, (key + 1).astype(jnp.float32), jnp.float32(0.0)
+    )
+
+
 def accumulate_age(
     prev_age, prev_y, prev_x, lam, frame_idx, cfg, reproj=None,
     prev_vis=None, cur_vis=None, reproj_vis=None,

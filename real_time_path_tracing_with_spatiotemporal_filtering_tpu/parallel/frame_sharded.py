@@ -52,6 +52,7 @@ def _history_spec(
     variance_guided: bool = False,
     accumulation_ramp: bool = False,
     path_gradient: bool = False,
+    normal_reset: bool = False,
 ) -> History:
     """PartitionSpec pytree for History: image planes row-sharded, scene/
     camera state replicated."""
@@ -66,6 +67,7 @@ def _history_spec(
         frame=P(),
         moments=P(axis) if variance_guided else None,
         age=P(axis) if accumulation_ramp else None,
+        vis_class=P(axis) if accumulation_ramp and normal_reset else None,
         noisy_lum=P(axis) if path_gradient else None,
         cam_pos=P() if path_gradient else None,
         cam_rot=P() if path_gradient else None,
@@ -273,6 +275,8 @@ def _frame_shard(
     # Raw (pre-demodulation) trace luminance for next frame's gradient
     # re-trace (single-chip ordering: frame.py computes it before demod).
     noisy_lum = atrous.luminance(noisy) if cfg.path_gradient else None
+    if cfg.firefly_clamp:
+        noisy = jnp.minimum(noisy, jnp.float32(cfg.firefly_clamp))
 
     if cfg.demodulate_albedo:
         # SVGF albedo demodulation (config.py): per-pixel, so the sharded
@@ -294,7 +298,9 @@ def _frame_shard(
             history_local.proj, cfg, row_offset=row_offset,
         )
     reproj_vis = None
-    if cfg.accumulation_ramp or cfg.path_gradient:
+    if cfg.path_gradient or (
+        cfg.accumulation_ramp and cfg.ramp_reset_mode != "normal"
+    ):
         reproj_vis = reproject_rows_sharded(
             history_local.visibility, py, px, row_offset, axis_name=axis,
             ledger=ledger,
@@ -326,17 +332,28 @@ def _frame_shard(
             ),
         )
     age = None
+    cls_cur = None
     if cfg.accumulation_ramp:
-        # SVGF accumulation ramp: the age and previous-visibility planes
+        # SVGF accumulation ramp: the age and previous-consistency planes
         # reproject through the same windowed halo exchange as the color
-        # history (visibility mismatch = disocclusion/camera-cut reset).
+        # history (consistency mismatch = disocclusion/camera-cut reset;
+        # raw ids or quantized-normal classes per cfg.ramp_reset_mode).
         reproj_age = reproject_rows_sharded(
             history_local.age, py, px, row_offset, axis_name=axis,
             ledger=ledger,
         )
+        if cfg.ramp_reset_mode == "normal":
+            cls_cur = atrous.normal_class(normal_img, visibility)
+            reproj_cons = reproject_rows_sharded(
+                history_local.vis_class, py, px, row_offset,
+                axis_name=axis, ledger=ledger,
+            )
+            cur_cons = cls_cur
+        else:
+            reproj_cons, cur_cons = reproj_vis, visibility
         age = atrous.accumulate_age(
             history_local.age, py, px, lam, frame_idx, cfg,
-            reproj=reproj_age, cur_vis=visibility, reproj_vis=reproj_vis,
+            reproj=reproj_age, cur_vis=cur_cons, reproj_vis=reproj_cons,
         )
     if cfg.variance_guided:
         reproj_moments = reproject_rows_sharded(
@@ -393,6 +410,7 @@ def _frame_shard(
         frame=frame_idx + 1,
         moments=moments,
         age=age,
+        vis_class=cls_cur,
         noisy_lum=noisy_lum,
         cam_pos=jnp.asarray(camera.position) if cfg.path_gradient else None,
         cam_rot=jnp.asarray(camera.rotation) if cfg.path_gradient else None,
@@ -452,7 +470,8 @@ def make_sharded_frame(
         )
 
     hist_spec = _history_spec(
-        axis, cfg.variance_guided, cfg.accumulation_ramp, cfg.path_gradient
+        axis, cfg.variance_guided, cfg.accumulation_ramp, cfg.path_gradient,
+        normal_reset=cfg.ramp_reset_mode == "normal",
     )
     out_specs = (P(axis), hist_spec)
     if comm_ledger is not None:
@@ -483,6 +502,7 @@ def init_sharded_history(tri_data, cfg: RenderConfig, mesh, axis: str = ROW_AXIS
         _history_spec(
             axis, cfg.variance_guided, cfg.accumulation_ramp,
             cfg.path_gradient,
+            normal_reset=cfg.ramp_reset_mode == "normal",
         ),
         is_leaf=lambda x: isinstance(x, P),
     )

@@ -189,6 +189,10 @@ def render_frame_impl(
             rotation=camera.rotation, primary=primary,
         )
     noisy_lum = atrous.luminance(noisy) if cfg.path_gradient else None
+    if cfg.firefly_clamp:
+        # after noisy_lum: the gradient's stored luminance must stay
+        # stream-exact vs the (unclamped) re-trace (ops/pathgrad.py)
+        noisy = jnp.minimum(noisy, jnp.float32(cfg.firefly_clamp))
 
     # -- pass 4: a-trous filter + temporal EMA (temporalFiltering.comp.glsl) --
     if cfg.demodulate_albedo:
@@ -199,15 +203,24 @@ def render_frame_impl(
         )
         noisy = atrous.demodulate(noisy, demod_s)
     age = None
+    cls_cur = None
     if cfg.accumulation_ramp:
         # SVGF accumulation ramp (config.py): per-pixel history length,
         # reprojected like the color history; reset by the temporal
-        # gradient (shading change) or a visibility-id mismatch
-        # (disocclusion / camera cut -- SVGF's G-buffer consistency test).
-        age = atrous.accumulate_age(
-            history.age, py, px, lam, frame_idx, cfg,
-            prev_vis=history.visibility, cur_vis=gbuf.visibility,
-        )
+        # gradient (shading change) or a surface-consistency mismatch
+        # (disocclusion / camera cut -- SVGF's G-buffer consistency test;
+        # exact primitive ids or quantized normals per ramp_reset_mode).
+        if cfg.ramp_reset_mode == "normal":
+            cls_cur = atrous.normal_class(normal_img, gbuf.visibility)
+            age = atrous.accumulate_age(
+                history.age, py, px, lam, frame_idx, cfg,
+                prev_vis=history.vis_class, cur_vis=cls_cur,
+            )
+        else:
+            age = atrous.accumulate_age(
+                history.age, py, px, lam, frame_idx, cfg,
+                prev_vis=history.visibility, cur_vis=gbuf.visibility,
+            )
     if cfg.variance_guided:
         # SVGF extension (config.py): moments reprojected with the same
         # backprojection as the color history, variance-normalized w_l.
@@ -253,6 +266,7 @@ def render_frame_impl(
         frame=frame_idx + 1,
         moments=moments,
         age=age,
+        vis_class=cls_cur,
         noisy_lum=noisy_lum,
         cam_pos=jnp.asarray(camera.position) if cfg.path_gradient else None,
         cam_rot=jnp.asarray(camera.rotation) if cfg.path_gradient else None,
@@ -344,6 +358,10 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
             interpret=interpret, planar=True, rotation=camera.rotation,
         )
     noisy_lum = atrous.luminance_planes(*noisy) if cfg.path_gradient else None
+    if cfg.firefly_clamp:
+        noisy = tuple(
+            jnp.minimum(c, jnp.float32(cfg.firefly_clamp)) for c in noisy
+        )
     lam_plane = geo.lam
     if cfg.path_gradient:
         if pt_mod.trace_needs_streaming(tri_data):
@@ -385,15 +403,23 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         filtered = atrous_pl.atrous_filter_pallas(
             noisy, geo.normal, geo.depth, cfg, interpret=interpret
         )
+    cls_cur = None
     if cfg.accumulation_ramp:
         # the age/visibility planes ride the windowed blend kernel's halo
         # window (per-pixel ramp alpha computed in-kernel), so ramp mode
-        # keeps the moving-camera blend off the ~13 ms XLA gather
+        # keeps the moving-camera blend off the ~13 ms XLA gather. The
+        # consistency planes are raw ids or quantized-normal classes per
+        # cfg.ramp_reset_mode (the kernel only tests equality).
+        if cfg.ramp_reset_mode == "normal":
+            cls_cur = atrous.normal_class(geo.normal, geo.visibility)
+            prev_cons, cur_cons = history.vis_class, cls_cur
+        else:
+            prev_cons, cur_cons = history.visibility, geo.visibility
         rgb, age = atrous_pl.temporal_blend_pallas(
             filtered, history.image, geo.prev_y, geo.prev_x, frame_idx,
             lam_plane, cfg, interpret=interpret,
-            prev_age=history.age, prev_vis=history.visibility,
-            cur_vis=geo.visibility,
+            prev_age=history.age, prev_vis=prev_cons,
+            cur_vis=cur_cons,
         )
     else:
         age = None
@@ -412,6 +438,7 @@ def _render_frame_pallas(tri_data, camera, light, history, cfg: RenderConfig):
         frame=frame_idx + 1,
         moments=moments,
         age=age,
+        vis_class=cls_cur,
         noisy_lum=noisy_lum,
         cam_pos=jnp.asarray(camera.position) if cfg.path_gradient else None,
         cam_rot=jnp.asarray(camera.rotation) if cfg.path_gradient else None,
@@ -462,6 +489,11 @@ def init_history(tri_data: TriangleData, cfg: RenderConfig) -> History:
         age=(
             jnp.zeros((cfg.height, cfg.width), jnp.float32)
             if cfg.accumulation_ramp
+            else None
+        ),
+        vis_class=(
+            jnp.zeros((cfg.height, cfg.width), jnp.float32)
+            if cfg.accumulation_ramp and cfg.ramp_reset_mode == "normal"
             else None
         ),
         noisy_lum=(

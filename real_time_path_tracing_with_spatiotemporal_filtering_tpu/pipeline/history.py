@@ -39,6 +39,10 @@ class History:
     # (H, W) per-pixel consecutive-history length N for the SVGF
     # accumulation ramp; None unless cfg.accumulation_ramp (see config.py).
     age: jnp.ndarray | None = None
+    # (H, W) quantized-surface-normal consistency key (atrous.normal_class)
+    # for the ramp's history-rejection test; None unless
+    # cfg.accumulation_ramp and cfg.ramp_reset_mode == "normal".
+    vis_class: jnp.ndarray | None = None
     # A-SVGF path-space gradient state (None unless cfg.path_gradient):
     # the previous frame's raw (pre-demodulation) noisy trace luminance and
     # the camera it was traced with, so the gradient pass can re-trace the

@@ -78,6 +78,10 @@ def build_config(args):
         indirect_stride=getattr(args, "indirect_stride", 2),
         indirect_jitter=getattr(args, "indirect_jitter", False),
         gbuffer_primary=getattr(args, "gbuffer_primary", False),
+        # the viewer's quality preset uses the tessellation-robust
+        # history-rejection test and a mild firefly clamp (config.py)
+        ramp_reset_mode="normal" if ramp else "id",
+        firefly_clamp=getattr(args, "firefly_clamp", 0.0),
     )
 
 
@@ -179,6 +183,9 @@ def main() -> None:
     parser.add_argument("--path-gradient", action="store_true",
                         help="A-SVGF path-space temporal gradient "
                         "(re-traced sparse samples; implies --ramp)")
+    parser.add_argument("--firefly-clamp", type=float, default=0.0,
+                        help="clamp noisy HDR radiance before filtering "
+                        "(0 = off; 1-4 kills fireflies)")
     parser.add_argument("--no-preview", action="store_true")
     run_viewer(parser.parse_args())
 

@@ -233,3 +233,130 @@ def test_checkpoint_roundtrip_with_ramp(tmp_path):
     a = np.asarray(r.step())
     b = np.asarray(r2.step())
     np.testing.assert_array_equal(a, b)
+
+
+def test_normal_class_keys():
+    """atrous.normal_class: flat-surface sub-triangles (identical normals)
+    share a key; perpendicular surfaces differ; background keys to 0."""
+    import jax.numpy as jnp
+
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.ops import (
+        atrous,
+    )
+
+    n = jnp.array(
+        [
+            [[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]],   # same flat surface
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],   # perpendicular walls
+        ],
+        jnp.float32,
+    )
+    vis = jnp.array([[3.0, 7.0], [9.0, 0.0]], jnp.float32)
+    cls = np.asarray(atrous.normal_class(n, vis))
+    assert cls[0, 0] == cls[0, 1]          # ids differ, surface agrees
+    assert cls[1, 0] != cls[0, 0]
+    assert cls[1, 1] == 0.0                # background sentinel
+    # tuple-of-planes form (the Pallas frame) is identical
+    cls2 = np.asarray(
+        atrous.normal_class((n[..., 0], n[..., 1], n[..., 2]), vis)
+    )
+    np.testing.assert_array_equal(cls, cls2)
+
+
+def test_normal_reset_mode_keeps_history_on_tessellated_orbit():
+    """THE failure mode that motivated ramp_reset_mode (round 5): on a
+    finely tessellated scene a moving camera lands nearly every
+    backprojection on a different sub-triangle of the same flat wall, so
+    exact-id consistency resets history every frame and accumulation
+    dies. The quantized-normal test keeps it."""
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene import (
+        procedural,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Camera,
+    )
+
+    scene = ptsf.Scene.from_arrays(*procedural.subdivided_cornell(8))
+    ages = {}
+    for mode in ("id", "normal"):
+        cfg = dataclasses.replace(
+            CFG, backend="xla", ramp_reset_mode=mode, max_bounces=3
+        )
+        r = ptsf.Renderer(scene, cfg)
+        for i in range(4):
+            # fast orbit: several pixels of reprojection shift per frame,
+            # crossing sub-triangle boundaries nearly everywhere (the
+            # regime the 1080p/32k-tri interactive rows live in)
+            r.camera = Camera.orbit([0.0, 1.0, 0.0], 6.0, 0.08 * i, 1.0)
+            out = r.step()
+        assert np.isfinite(np.asarray(out)).all()
+        ages[mode] = np.asarray(r.history.age)
+    # id mode: ids shuffle under motion -> history resets across flat
+    # walls; normal mode: identical wall normals keep it. Both modes
+    # still reset at genuine disocclusions and gradient events, so pin
+    # the FULL-HISTORY fraction (pixels that never reset) and the mean.
+    full_id = (ages["id"] == 4.0).mean()
+    full_nm = (ages["normal"] == 4.0).mean()
+    assert full_nm > 1.5 * full_id, (full_nm, full_id)
+    assert np.mean(ages["normal"]) > 1.2 * np.mean(ages["id"])
+
+
+def test_normal_reset_sharded_matches_single_chip(cornell_tri_data):
+    """ramp_reset_mode='normal' under the row-sharded frame: the class
+    plane shards and reprojects like the other history planes."""
+    import jax
+
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.parallel import (
+        frame_sharded,
+        sharding,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.pipeline import (
+        frame as frame_mod,
+    )
+    from real_time_path_tracing_with_spatiotemporal_filtering_tpu.scene.scene import (
+        Camera,
+        Light,
+    )
+
+    cfg = dataclasses.replace(CFG, ramp_reset_mode="normal")
+    mesh = sharding.make_mesh(8)
+    sharded = frame_sharded.make_sharded_frame(cfg, mesh)
+    hist_s = frame_sharded.init_sharded_history(cornell_tri_data, cfg, mesh)
+    hist_ref = frame_mod.init_history(cornell_tri_data, cfg)
+    cam, light = Camera.default(), Light.default()
+    for i in range(3):
+        cam = dataclasses.replace(
+            cam, position=np.asarray(cam.position) + np.float32([0.05, 0, 0])
+        )
+        rgb_s, hist_s = sharded(cornell_tri_data, cam, light, hist_s)
+        rgb_ref, hist_ref = frame_mod.render_frame_impl(
+            cornell_tri_data, cam, light, hist_ref, cfg
+        )
+    np.testing.assert_array_equal(
+        np.asarray(hist_s.age), np.asarray(hist_ref.age)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_firefly_clamp_bounds_output():
+    """cfg.firefly_clamp: the noisy estimate is channel-clamped before
+    filtering/accumulation, so the (convex) filtered+blended output is
+    bounded by the clamp; off by default (parity golden tests cover
+    bit-identity). The unclamped render exceeds it at the HDR light."""
+    cfg0 = dataclasses.replace(CFG, max_bounces=4)
+    cfg1 = dataclasses.replace(cfg0, firefly_clamp=2.0)
+    outs = {}
+    for name, cfg in (("off", cfg0), ("on", cfg1)):
+        r = _renderer(cfg)
+        for _ in range(3):
+            out = np.asarray(r.step())
+        outs[name] = out
+    assert outs["off"].max() > 2.0      # HDR light pixels
+    assert outs["on"].max() <= 2.0 + 1e-5
+    assert np.isfinite(outs["on"]).all()
